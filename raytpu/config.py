@@ -1,0 +1,105 @@
+"""Run/render configuration.
+
+The reference scatters configuration across code (``Game1.cs:119-128``),
+content-processor attributes (``TracerModelProcessor.cs:32-101``) and
+compile-time ``#if`` flags.  Here everything is one dataclass serialized
+alongside outputs (SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Optional
+
+
+class TextureFiltering(enum.IntEnum):
+    """Texture filtering modes (reference: Material.cs:12-16)."""
+
+    POINT = 0
+    BILINEAR = 1
+
+
+class UVAddressMode(enum.IntEnum):
+    """UV addressing modes (reference: Material.cs:18-23)."""
+
+    CLAMP = 0
+    WRAP = 1
+    MIRROR = 2
+
+
+class Quantize(enum.IntEnum):
+    """Where to replicate XNA's byte quantization of colors.
+
+    The reference stores every intermediate bounce color in a byte-packed
+    ``Color`` (RayTracer.cs:552/:696 return ``Color`` from recursion), so
+    intermediate colors are rounded to 1/255 steps.  ``BOUNCE`` replicates
+    that exactly; ``FINAL`` only quantizes the framebuffer write; ``NONE``
+    keeps full fp32 precision (HDR mode).
+    """
+
+    NONE = 0
+    FINAL = 1
+    BOUNCE = 2
+
+
+class Intersector(enum.IntEnum):
+    """Which nearest-hit backend the renderer uses."""
+
+    AUTO = 0
+    BRUTE = 1  # dense ray-tile x triangle-block sweep (small scenes)
+    OCTREE = 2  # stackless flattened-octree traversal (pure JAX while_loop)
+    PALLAS = 3  # Pallas fused traversal+intersection kernels
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Renderer configuration.
+
+    Mirrors the tracer properties of the reference engine
+    (``RayTracer.cs:19-41``): ``MaxReflections``, ``TextureFiltering``,
+    ``AddressMode``, ``UseMultisampling``, ``MultisampleQuality`` — plus
+    TPU-specific batching knobs that replace the scanline dispenser
+    (``RayTracer.cs:48-52``).
+    """
+
+    width: int = 512
+    height: int = 512
+    max_reflections: int = 8
+    filtering: TextureFiltering = TextureFiltering.POINT
+    address_mode: UVAddressMode = UVAddressMode.WRAP
+    use_multisampling: bool = False
+    multisample_quality: int = 1
+    # Adaptive supersampling subdivision threshold (RayTracer.cs:340).
+    multisample_threshold: float = 0.5
+    # Replicate the reference bug where the lower-right subdivision result is
+    # written into urColor (RayTracer.cs:305); fixed by default.
+    replicate_lr_bug: bool = False
+    quantize: Quantize = Quantize.FINAL
+    intersector: Intersector = Intersector.AUTO
+    # Rays per wavefront tile; the image is rendered tile-by-tile so that
+    # refraction doubling (2^depth slots) stays within HBM.
+    tile_pixels: int = 16384
+    # Triangle block size for the brute-force intersector sweep.
+    tri_block: int = 2048
+    # Intersector switches to octree traversal above this triangle count
+    # when intersector == AUTO.
+    brute_force_max_tris: int = 4096
+    dtype: str = "float32"
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        for k, v in d.items():
+            if isinstance(v, enum.IntEnum):
+                d[k] = v.name
+        return json.dumps(d, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "RenderConfig":
+        d = json.loads(s)
+        d["filtering"] = TextureFiltering[d["filtering"]]
+        d["address_mode"] = UVAddressMode[d["address_mode"]]
+        d["quantize"] = Quantize[d["quantize"]]
+        d["intersector"] = Intersector[d["intersector"]]
+        return RenderConfig(**d)

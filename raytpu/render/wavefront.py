@@ -1,0 +1,335 @@
+"""The wavefront renderer.
+
+``RayTracer.CastRay`` (RayTracer.cs:506-737) is a recursive tree: every hit
+spawns a reflection ray (RayTracer.cs:545-559) and, for transparent
+materials, a refraction ray (RayTracer.cs:656-699), combined as
+
+    colorVector = lerp(reflection, surface, 1 - reflectiveness) * light
+    color       = lerp(refraction, colorVector, alpha)        # if transparent
+
+Both combines are *linear* in the child colors, so the recursion maps to a
+TPU-friendly two-pass wavefront over static-shaped ray levels:
+
+1. **Forward expansion** — level ``l`` holds the rays at recursion depth
+   ``l`` (`R0 * 2^l` slots when the scene has transparent materials —
+   children are laid out ``[reflection | refraction]`` — else ``R0``).  Each
+   level runs one batched nearest-hit query plus one shadow query per light
+   and records per-node linear coefficients:
+
+       color(node) = a + b * color(refl child) + c * color(refr child)
+
+   with ``a = alpha*(1-refl)*S*L``, ``b = alpha*refl*L``, ``c = (1-alpha)``
+   (``alpha``/``c`` only for transparent hits; at the reflection limit the
+   reference shades ``S*L`` with no children — RayTracer.cs:708-727).
+
+2. **Backward combine** — colors propagate from the deepest level to the
+   root.  XNA quantizes every ``CastRay`` return into a byte ``Color``;
+   ``Quantize.BOUNCE`` replicates that exactly, ``FINAL`` only rounds the
+   framebuffer write, ``NONE`` is full fp32 (HDR).
+
+The scanline dispenser (RayTracer.cs:48-52) becomes tile batching here and
+device-mesh sharding in ``raytpu.dist``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.accel.traverse import nearest_hit
+from raytpu.config import Quantize, RenderConfig
+from raytpu.core.camera import Camera, camera_rays, rays_through_screen
+from raytpu.core.math3d import dot, normalize, reflect, refract_xna
+from raytpu.core.xna import quantize_color
+from raytpu.scene import lights as lights_mod
+from raytpu.scene import texture as texture_mod
+from raytpu.scene.types import FlatScene
+
+
+class LevelRecord(NamedTuple):
+    mask: jnp.ndarray  # (R,) valid-hit mask
+    a: jnp.ndarray  # (R, 3) local emission coefficient
+    b: jnp.ndarray  # (R, 3) reflection-child weight
+    c: jnp.ndarray  # (R,) refraction-child weight
+
+
+class RaySet(NamedTuple):
+    origin: jnp.ndarray
+    direction: jnp.ndarray
+    ignore_tri: jnp.ndarray
+    ignore_mesh: jnp.ndarray
+    cur_ref: jnp.ndarray  # currentRefIndex (RayTracer.cs:506)
+    alive: jnp.ndarray
+
+
+def _gather_tri(scene: FlatScene, tri):
+    g = lambda arr: arr[tri]
+    return {
+        "v1": g(scene.tri_v1),
+        "e1": g(scene.tri_e1),
+        "e2": g(scene.tri_e2),
+        "n1": g(scene.tri_n1),
+        "n2": g(scene.tri_n2),
+        "n3": g(scene.tri_n3),
+        "uv1": g(scene.tri_uv1),
+        "uv2": g(scene.tri_uv2),
+        "uv3": g(scene.tri_uv3),
+        "snormal": g(scene.tri_snormal),
+        "color": g(scene.tri_color),
+        "mesh": g(scene.tri_mesh),
+    }
+
+
+def _surface_color(scene: FlatScene, cfg: RenderConfig, tri_data, mat, u, v):
+    """Texture lookup or per-triangle color (RayTracer.cs:568-581)."""
+    base = tri_data["color"][..., :3]
+    if not scene.has_textures:
+        return base
+    uv = (
+        tri_data["uv1"]
+        + (tri_data["uv2"] - tri_data["uv1"]) * u[..., None]
+        + (tri_data["uv3"] - tri_data["uv1"]) * v[..., None]
+    )
+    tex_id = jnp.maximum(scene.mat_texture[mat], 0)
+    h = scene.tex_hw[tex_id, 0]
+    w = scene.tex_hw[tex_id, 1]
+    tex = texture_mod.lookup_uv(
+        scene.textures, tex_id, h, w, uv, cfg.address_mode, cfg.filtering
+    )
+    use = scene.mat_use_texture[mat] & (scene.mat_texture[mat] >= 0)
+    return jnp.where(use[..., None], tex, base)
+
+
+def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
+                  hit_tri):
+    """Per-fragment light sum with shadow rays (RayTracer.cs:533-542).
+
+    Shadow attenuation: opaque occluder blocks fully, transparent occluder
+    attenuates by its triangle alpha (IsLightPathObstructed,
+    RayTracer.cs:465-502).
+    """
+    total = jnp.zeros_like(frag_pos)
+    lt = scene.lights
+    for i in range(scene.num_lights):
+        sdir, sdist = lights_mod.light_shadow_query(lt, i, frag_pos)
+        shadow = nearest_hit(
+            scene,
+            frag_pos,
+            sdir,
+            ignore_tri=hit_tri,
+            cull=True,
+            intersector=cfg.intersector,
+            block=cfg.tri_block,
+            brute_force_max_tris=cfg.brute_force_max_tris,
+        )
+        obstructed = shadow.hit & (shadow.t < sdist)
+        occ_transparent = scene.mat_transparent[
+            scene.mesh_material[scene.tri_mesh[shadow.tri]]
+        ]
+        occ_alpha = scene.tri_color[shadow.tri, 3]
+        light_amount = jnp.where(
+            obstructed, jnp.where(occ_transparent, occ_alpha, 1.0), 0.0
+        )
+        contrib = lights_mod.light_contrib(lt, i, frag_pos, normal)
+        total = total + contrib * (1.0 - light_amount)[..., None]
+    return total
+
+
+def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
+                 is_max_level: bool):
+    """One wavefront level: intersect + shade + spawn children."""
+    hit = nearest_hit(
+        scene,
+        rays.origin,
+        rays.direction,
+        ignore_tri=rays.ignore_tri,
+        ignore_mesh=rays.ignore_mesh,
+        cull=True,
+        intersector=cfg.intersector,
+        block=cfg.tri_block,
+        brute_force_max_tris=cfg.brute_force_max_tris,
+    )
+    mask = hit.hit & rays.alive
+    tri = hit.tri
+    td = _gather_tri(scene, tri)
+    mat = scene.mesh_material[td["mesh"]]
+
+    # Fragment normal (RayTracer.cs:520-531).
+    interp = scene.mat_interp_normals[mat]
+    n_lerped = (
+        td["n1"]
+        + (td["n2"] - td["n1"]) * hit.u[..., None]
+        + (td["n3"] - td["n1"]) * hit.v[..., None]
+    )
+    n_lerped = normalize(n_lerped)
+    normal = jnp.where(interp[..., None], n_lerped, td["snormal"])
+
+    # World-space hit position (MeshOctree.cs:310-322; already world space
+    # since instances are baked).
+    frag_pos = td["v1"] + td["e1"] * hit.u[..., None] + td["e2"] * hit.v[..., None]
+
+    light = _light_result(scene, cfg, frag_pos, normal, tri)
+    surface = _surface_color(scene, cfg, td, mat, hit.u, hit.v)
+
+    refl = scene.mat_reflect[mat][..., None]
+    alpha = td["color"][..., 3]
+    transparent = scene.mat_transparent[mat] & jnp.asarray(scene.has_transparent)
+
+    if is_max_level:
+        # Reflection-limit shading: S * L (RayTracer.cs:708-727).
+        a = surface * light
+        b = jnp.zeros_like(a)
+        c = jnp.zeros_like(alpha)
+        children = None
+    else:
+        a_opaque = (1.0 - refl) * surface * light
+        b_opaque = refl * light
+        a = jnp.where(transparent[..., None], alpha[..., None] * a_opaque, a_opaque)
+        b = jnp.where(transparent[..., None], alpha[..., None] * b_opaque, b_opaque)
+        c = jnp.where(transparent, 1.0 - alpha, 0.0)
+
+        # Reflection child (RayTracer.cs:545-559).
+        refl_dir = normalize(reflect(rays.direction, normal))
+        convex = scene.mesh_convex[td["mesh"]]
+        refl_ignore_mesh = jnp.where(convex, td["mesh"], -1)
+        refl_alive = mask & jnp.any(b != 0.0, axis=-1)
+        refl_rays = RaySet(
+            origin=frag_pos,
+            direction=refl_dir,
+            ignore_tri=jnp.where(mask, tri, -1),
+            ignore_mesh=jnp.where(mask, refl_ignore_mesh, -1),
+            cur_ref=rays.cur_ref,
+            alive=refl_alive,
+        )
+
+        refr_rays = None
+        if scene.has_transparent:
+            # Refraction (RayTracer.cs:656-699): n1/n2 selected by comparing
+            # currentRefIndex with the material's index, child recurses with
+            # currentRefIndex = n2.
+            mat_ior = scene.mat_refraction[mat]
+            inside = rays.cur_ref == mat_ior
+            n1 = jnp.where(inside, 1.0, mat_ior)
+            n2 = jnp.where(inside, rays.cur_ref, 1.0)
+            refr_dir = refract_xna(rays.direction, normal, n1, n2)
+            refr_dir = normalize(refr_dir)
+            refr_alive = mask & (c != 0.0)
+            refr_rays = RaySet(
+                origin=frag_pos,
+                direction=refr_dir,
+                ignore_tri=jnp.where(mask, tri, -1),
+                ignore_mesh=jnp.full_like(tri, -1),
+                cur_ref=n2,
+                alive=refr_alive,
+            )
+        children = (refl_rays, refr_rays)
+
+    m3 = mask[..., None]
+    record = LevelRecord(
+        mask=mask,
+        a=jnp.where(m3, a, 0.0),
+        b=jnp.where(m3, b, 0.0),
+        c=jnp.where(mask, c, 0.0),
+    )
+    return record, children
+
+
+def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
+                 alive=None):
+    """Batched CastRay: colors for an arbitrary set of primary rays.
+
+    Implements the full recursion of RayTracer.CastRay as a forward
+    expansion + backward combine (see module docstring).  Miss = black
+    (RayTracer.cs:729-735).
+    """
+    r0 = origin.shape[0]
+    rays = RaySet(
+        origin=origin,
+        direction=direction,
+        ignore_tri=jnp.full((r0,), -1, jnp.int32),
+        ignore_mesh=jnp.full((r0,), -1, jnp.int32),
+        cur_ref=jnp.ones((r0,), jnp.float32),
+        alive=jnp.ones((r0,), bool) if alive is None else alive,
+    )
+
+    records = []
+    for level in range(cfg.max_reflections + 1):
+        is_max = level == cfg.max_reflections
+        record, children = _trace_level(scene, cfg, rays, is_max)
+        records.append(record)
+        if not is_max:
+            refl_rays, refr_rays = children
+            if scene.has_transparent:
+                rays = jax.tree.map(
+                    lambda x, y: jnp.concatenate([x, y]), refl_rays, refr_rays
+                )
+            else:
+                rays = refl_rays
+
+    # Backward combine (child colors → parent), deepest level first.
+    color = None
+    for level in reversed(range(cfg.max_reflections + 1)):
+        rec = records[level]
+        rl = rec.a.shape[0]
+        if color is None:
+            node = rec.a
+        else:
+            child_r = color[:rl]
+            node = rec.a + rec.b * child_r
+            if scene.has_transparent:
+                child_t = color[rl:]
+                node = node + rec.c[..., None] * child_t
+        node = jnp.where(rec.mask[..., None], node, 0.0)
+        if cfg.quantize == Quantize.BOUNCE:
+            node = quantize_color(node)
+        color = node
+
+    if cfg.quantize == Quantize.FINAL:
+        color = quantize_color(color)
+    return color
+
+
+def _pad_rays(o, d, tile: int):
+    n = o.shape[0]
+    pad = (-n) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+    return o, d, n
+
+
+def render_rays(scene: FlatScene, cfg: RenderConfig, origin, direction):
+    """Trace an arbitrary ray batch tile-by-tile (lax.map over tiles)."""
+    o, d, n = _pad_rays(origin, direction, cfg.tile_pixels)
+    tiles = o.shape[0] // cfg.tile_pixels
+
+    def one_tile(args):
+        to, td = args
+        return trace_colors(scene, cfg, to, td)
+
+    colors = jax.lax.map(
+        one_tile,
+        (o.reshape(tiles, cfg.tile_pixels, 3), d.reshape(tiles, cfg.tile_pixels, 3)),
+    )
+    return colors.reshape(-1, 3)[:n]
+
+
+def render_image(scene: FlatScene, cfg: RenderConfig,
+                 camera: Optional[Camera] = None):
+    """Full-frame render → (H, W, 3) float32 in [0, 1].
+
+    The Render/RenderAsync equivalent (RayTracer.cs:391-428): primary rays
+    through integer pixel coordinates, raster order.  With
+    ``cfg.use_multisampling`` the adaptive 4-corner supersampler runs
+    instead (RayTracer.cs:128-311).
+    """
+    camera = camera or Camera(aspect=cfg.width / cfg.height)
+    if cfg.use_multisampling:
+        from raytpu.render.supersample import render_image_multisampled
+
+        return render_image_multisampled(scene, cfg, camera)
+    o, d = camera_rays(camera, cfg.width, cfg.height)
+    colors = render_rays(scene, cfg, o, d)
+    return colors.reshape(cfg.height, cfg.width, 3)

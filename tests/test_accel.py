@@ -1,0 +1,91 @@
+"""Octree build + traversal vs brute force (cross-validation)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytpu.accel.octree import build_octree, tri_box_overlap
+from raytpu.accel.traverse import nearest_hit_brute, nearest_hit_octree
+from tests.scenes import sphere_and_plane_scene
+
+
+def random_tris(rng, n, scale=10.0):
+    base = rng.uniform(-scale, scale, size=(n, 1, 3))
+    return (base + rng.normal(size=(n, 3, 3))).astype(np.float32)
+
+
+class TestTriBoxOverlap:
+    def test_contained(self):
+        v = np.asarray([[[0.1, 0.1, 0.1], [0.2, 0.1, 0.1], [0.1, 0.2, 0.1]]], np.float32)
+        ok = tri_box_overlap(v[:, 0], v[:, 1], v[:, 2], np.zeros(3, np.float32),
+                             np.ones(3, np.float32))
+        assert ok[0]
+
+    def test_spanning_no_vertex_inside(self):
+        # A big triangle cutting through the box with all vertices outside —
+        # the case the reference's vertex test misses (octree.py docstring).
+        v = np.asarray(
+            [[[-5.0, 0.5, 0.5], [5.0, 0.5, 0.4], [0.0, 0.5, 5.0]]], np.float32
+        )
+        ok = tri_box_overlap(v[:, 0], v[:, 1], v[:, 2], np.zeros(3, np.float32),
+                             np.ones(3, np.float32))
+        assert ok[0]
+
+    def test_outside(self):
+        v = np.asarray([[[3.0, 3.0, 3.0], [4.0, 3.0, 3.0], [3.0, 4.0, 3.0]]], np.float32)
+        ok = tri_box_overlap(v[:, 0], v[:, 1], v[:, 2], np.zeros(3, np.float32),
+                             np.ones(3, np.float32))
+        assert not ok[0]
+
+
+class TestOctreeBuild:
+    def test_all_triangles_reachable(self, rng):
+        tris = random_tris(rng, 300)
+        oct_ = build_octree(tris, leaf_threshold=20, max_depth=8)
+        assert set(np.unique(oct_.leaf_tris)) == set(range(300))
+        # Escape indices are monotone and end at N.
+        assert oct_.node_skip[0] == len(oct_.node_min)
+
+    def test_leaf_threshold_respected(self, rng):
+        tris = random_tris(rng, 500)
+        oct_ = build_octree(tris, leaf_threshold=50, max_depth=10)
+        leaf_counts = oct_.node_leaf_count[oct_.node_is_leaf]
+        internal_depth_hit = (leaf_counts > 50).sum()
+        # Leaves above threshold only exist if max_depth clipped them; with
+        # spread-out random triangles depth 10 is plenty.
+        assert internal_depth_hit == 0
+
+
+class TestTraversalVsBrute:
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(leaf_threshold=16, max_depth=8)
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    @pytest.mark.parametrize("cull", [True, False])
+    def test_match(self, flat, rng, cull):
+        o, d = self._rays(rng, 256)
+        hb = nearest_hit_brute(flat, o, d, cull=cull, block=128)
+        ho = nearest_hit_octree(flat, o, d, cull=cull)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(ho.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(ho.t)[m], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(ho.tri)[m])
+
+    def test_ignore_triangle(self, flat, rng):
+        o, d = self._rays(rng, 64)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        ign = hb.tri
+        hb2 = nearest_hit_brute(flat, o, d, ignore_tri=ign, block=128)
+        ho2 = nearest_hit_octree(flat, o, d, ignore_tri=ign)
+        m = np.asarray(hb.hit)
+        # The previously-hit triangle is never returned again.
+        assert not np.any(np.asarray(hb2.tri)[m] == np.asarray(ign)[m])
+        np.testing.assert_array_equal(np.asarray(hb2.tri), np.asarray(ho2.tri))
