@@ -98,11 +98,14 @@ def nearest_hit_brute(scene, origin, direction, ignore_tri=None,
         best_tri = jnp.where(upd, tri_idx[j], best_tri)
         return (best_t, best_u, best_v, best_tri), None
 
+    # Derive the carry init from the (possibly device-varying) ray arrays so
+    # the scan carry type matches under shard_map manual axes.
+    zero_r = jnp.zeros_like(origin[:, 0])
     init = (
-        jnp.full((r,), FLOAT_MAX),
-        jnp.zeros((r,)),
-        jnp.zeros((r,)),
-        jnp.full((r,), -1, jnp.int32),
+        zero_r + FLOAT_MAX,
+        zero_r,
+        zero_r,
+        zero_r.astype(jnp.int32) - 1,
     )
     blocks = (idx_all.reshape(nblocks, block), in_range.reshape(nblocks, block))
     (best_t, best_u, best_v, best_tri), _ = jax.lax.scan(body, init, blocks)
@@ -186,12 +189,15 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
             next_node = jnp.where(enter & ~is_leaf, node + 1, node_skip[node])
             return next_node, best_t, best_u, best_v, best_tri
 
+        # Init derived from the ray so the while carry is device-varying
+        # under shard_map manual axes.
+        zero = o[0] * 0.0
         init = (
-            jnp.where(bad, num_nodes, 0),
-            FLOAT_MAX,
-            jnp.float32(0),
-            jnp.float32(0),
-            jnp.int32(-1),
+            jnp.where(bad, num_nodes, 0) + zero.astype(jnp.int32),
+            zero + FLOAT_MAX,
+            zero,
+            zero,
+            zero.astype(jnp.int32) - 1,
         )
         _, bt, bu, bv, btri = jax.lax.while_loop(cond, body, init)
         return bt, bu, bv, btri

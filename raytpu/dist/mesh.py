@@ -1,0 +1,64 @@
+"""Device-mesh construction and scene replication.
+
+The reference's only parallelism is a shared-memory scanline pool with an
+atomic dispenser (RayTracer.cs:48-52, :81-120).  The TPU-native equivalent is
+data parallelism over the ray dimension on a ``jax.sharding.Mesh``:
+
+- axis ``"rays"`` spans every chip (ICI within a slice, DCN across hosts);
+  each device owns a contiguous ray block — the moral successor of "each
+  thread owns a scanline", with the XLA collective replacing Thread.Join
+  (RayTracer.cs:117-120).
+- the scene (triangles, octree, materials, textures, lights) is replicated —
+  the analog of all threads reading the same shared octree.
+
+For multi-host topologies prefer ``make_mesh(axes=("hosts", "chips"))`` so
+gradient reductions can ride ICI first and cross DCN once
+(`reduce_scatter` over chips, `psum` over hosts — see raytpu.diff.fit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axes: Tuple[str, ...] = ("rays",),
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Build a Mesh over ``devices`` (default: all).
+
+    1-D ``("rays",)`` for pure ray data parallelism; 2-D
+    ``("hosts", "chips")`` with ``shape=(num_hosts, chips_per_host)`` for
+    hierarchical reductions.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        if len(axes) == 1:
+            shape = (len(devices),)
+        elif len(axes) == 2:
+            hosts = max(1, jax.process_count())
+            shape = (hosts, len(devices) // hosts)
+        else:
+            raise ValueError("give an explicit shape for >2 mesh axes")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def ray_axis(mesh: Mesh) -> str:
+    """The (flattened) axis name rays are sharded over."""
+    return mesh.axis_names[-1] if len(mesh.axis_names) == 1 else mesh.axis_names
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place every scene array fully replicated on the mesh.
+
+    Explicit placement keeps XLA from inserting per-step broadcasts of the
+    triangle/texture tables (the "shared scene" of RayTracer's thread pool).
+    Scenes larger than HBM would instead shard the triangle table and rotate
+    partitions (ring traversal) — a stretch component, see SURVEY.md §7.
+    """
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), scene)

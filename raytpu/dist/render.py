@@ -1,0 +1,81 @@
+"""Sharded full-frame rendering.
+
+``shard_map`` over the ray axis: each device traces its contiguous ray block
+with the same wavefront program a single chip runs (render/wavefront.py), the
+out-sharding assembles the frame.  This replaces the reference's scanline
+dispenser + Thread.Join barrier (RayTracer.cs:48-52, :108-120) — scheduling
+is static because ray cost variance averages out over device-sized blocks,
+and a static split is the only thing that compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytpu.config import RenderConfig
+from raytpu.core.camera import Camera, camera_rays
+from raytpu.render.wavefront import render_rays
+from raytpu.scene.types import FlatScene
+
+
+def _flat_axis(mesh: Mesh):
+    """Spec entry sharding dim 0 over every mesh axis."""
+    return mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+
+
+def render_rays_sharded(scene: FlatScene, cfg: RenderConfig, origin, direction,
+                        mesh: Mesh):
+    """Trace a ray batch sharded over the mesh; rays padded to the device
+    count times the tile size so every shard runs the identical program."""
+    n_dev = mesh.size
+    n = origin.shape[0]
+    chunk = -(-n // n_dev)
+    chunk = -(-chunk // cfg.tile_pixels) * cfg.tile_pixels
+    pad = chunk * n_dev - n
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)]
+        )
+
+    axis = _flat_axis(mesh)
+    spec = P(axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, spec),
+        out_specs=spec,
+    )
+    def shard_trace(scene_rep, o, d):
+        # The replicated scene enters the shard unvarying; promote it to
+        # device-varying so gathers inside scan/while bodies see consistent
+        # manual-axes types (pvary is free — no data movement).
+        scene_var = jax.tree.map(
+            lambda x: jax.lax.pvary(x, mesh.axis_names), scene_rep
+        )
+        return render_rays(scene_var, cfg, o, d)
+
+    colors = shard_trace(scene, origin, direction)
+    return colors[:n]
+
+
+def render_image_sharded(scene: FlatScene, cfg: RenderConfig,
+                         camera: Optional[Camera] = None,
+                         mesh: Optional[Mesh] = None):
+    """Full-frame render over a device mesh → (H, W, 3) float32.
+
+    Drop-in sharded equivalent of render/wavefront.py::render_image.
+    """
+    from raytpu.dist.mesh import make_mesh
+
+    mesh = mesh or make_mesh()
+    camera = camera or Camera(aspect=cfg.width / cfg.height)
+    o, d = camera_rays(camera, cfg.width, cfg.height)
+    colors = render_rays_sharded(scene, cfg, o, d, mesh)
+    return colors.reshape(cfg.height, cfg.width, 3)
