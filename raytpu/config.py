@@ -86,6 +86,16 @@ class RenderConfig:
     # Intersector switches to octree traversal above this triangle count
     # when intersector == AUTO.
     brute_force_max_tris: int = 4096
+    # Differentiable mode: the discrete nearest-hit result is
+    # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
+    # pixel gradients flow to geometry/normals/UVs/materials/texels through
+    # any intersector backend (requires quantize == NONE for nonzero grads).
+    differentiable: bool = False
+    # Edge softness for straight-through visibility gradients: 0 keeps hard
+    # visibility (zero gradient across silhouettes); > 0 keeps the forward
+    # image exact but backpropagates through a sigmoid of the barycentric
+    # edge distance with this temperature (raytpu.diff).
+    soft_tau: float = 0.0
     dtype: str = "float32"
 
     def to_json(self) -> str:

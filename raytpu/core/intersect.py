@@ -40,6 +40,28 @@ def moller_trumbore(origin, direction, v1, e1, e2):
     return hit, u, v, d
 
 
+def moller_trumbore_safe(origin, direction, v1, e1, e2, eps: float = 1e-20):
+    """Möller–Trumbore with a determinant guard, for the differentiable
+    recompute path (render/wavefront.py, cfg.differentiable).
+
+    For a triangle that actually passed the acceptance test the determinant
+    is nonzero and the guard never fires, so forward values are identical to
+    :func:`moller_trumbore`; for masked-out lanes (missed rays gathering a
+    placeholder triangle) it avoids inf/NaN that would poison gradients
+    through ``where``.
+    """
+    t = origin - v1
+    p = cross(direction, e2)
+    q = cross(t, e1)
+    det = dot(p, e1)
+    det = jnp.where(jnp.abs(det) < eps, jnp.float32(1.0), det)
+    inv_det = 1.0 / det
+    d = dot(q, e2) * inv_det
+    u = dot(p, t) * inv_det
+    v = dot(q, direction) * inv_det
+    return u, v, d
+
+
 def moller_trumbore_cull(origin, direction, v1, e1, e2, surface_normal):
     """Backface-culling variant (RayExtensions.cs:42-75).
 

@@ -1,0 +1,155 @@
+"""Inverse rendering: fit scene parameters to target images.
+
+BASELINE config 4 ("differentiable vertex+texture optimization").  The loss
+is pixel MSE between a differentiable render (cfg.differentiable=True,
+quantize=NONE — see render/wavefront.py) and a target image; parameters are
+any FlatScene field group (diff/params.py).
+
+Distributed form: rays are sharded over the device mesh exactly like the
+forward renderer (dist/render.py); each device differentiates its own ray
+block and the gradient all-reduce (``psum`` over the mesh axes) rides ICI —
+XLA schedules it against the remaining backward work, which is the
+overlapped-reduction design from SURVEY.md §2.
+
+Octree caveat: moving vertices invalidates the host-built octree.  Use
+Intersector.BRUTE while fitting geometry (exact for any motion), or refit in
+epochs, rebuilding the octree between them (accel.octree.build_octree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytpu.config import Quantize, RenderConfig
+from raytpu.core.camera import Camera, camera_rays
+from raytpu.diff.params import GEOMETRY, TEXTURE, apply_params, extract_params
+from raytpu.render.wavefront import render_rays
+from raytpu.scene.types import FlatScene
+
+
+def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
+    return dataclasses.replace(cfg, differentiable=True, quantize=Quantize.NONE)
+
+
+def render_loss(scene: FlatScene, cfg: RenderConfig, params: Dict,
+                origin, direction, target) -> jnp.ndarray:
+    """Mean-squared pixel error of the differentiable render."""
+    colors = render_rays(apply_params(scene, params), _diff_cfg(cfg), origin,
+                         direction)
+    return jnp.mean((colors - target) ** 2)
+
+
+def make_fit_step(scene: FlatScene, cfg: RenderConfig,
+                  optimizer: optax.GradientTransformation,
+                  mesh: Optional[Mesh] = None) -> Callable:
+    """Build a jitted ``step(params, opt_state, origin, direction, target)
+    -> (params, opt_state, loss)``.
+
+    With a mesh, rays/targets are expected pre-sharded along dim 0 (equal
+    per-device blocks); params/opt_state are replicated and gradients are
+    psum-averaged across the mesh.
+    """
+    cfg = _diff_cfg(cfg)
+
+    if mesh is None:
+
+        @jax.jit
+        def step(params, opt_state, origin, direction, target):
+            loss, grads = jax.value_and_grad(render_loss, argnums=2)(
+                scene, cfg, params, origin, direction, target
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    axes = mesh.axis_names
+    spec = P(axes if len(axes) > 1 else axes[0])
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), spec, spec, spec),
+        out_specs=(P(), P(), P()),
+    )
+    def step(params, opt_state, origin, direction, target):
+        from raytpu.dist.mesh import pvary_tree
+
+        scene_var = pvary_tree(scene, axes)
+        params_var = pvary_tree(params, axes)
+        loss, grads = jax.value_and_grad(render_loss, argnums=2)(
+            scene_var, cfg, params_var, origin, direction, target
+        )
+        # Gradient all-reduce over ICI(+DCN), overlapped with remaining
+        # backward work by XLA; equal shard sizes → psum-mean is the global
+        # gradient of the global mean loss.
+        grads = jax.lax.pmean(grads, axes)
+        loss = jax.lax.pmean(loss, axes)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
+        fields: Sequence[str] = GEOMETRY + TEXTURE,
+        steps: int = 100, learning_rate: float = 1e-2,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        mesh: Optional[Mesh] = None,
+        callback: Optional[Callable[[int, float], None]] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        ) -> Tuple[FlatScene, Dict, list]:
+    """Optimize ``fields`` of ``scene`` so its render matches ``target_image``.
+
+    Returns (fitted scene, fitted params, per-step loss history).  With
+    ``checkpoint_dir`` set, optimization state is saved every
+    ``checkpoint_every`` steps and the fit resumes from the latest
+    checkpoint if one exists (io/checkpoint.py).
+    """
+    optimizer = optimizer or optax.adam(learning_rate)
+    params = extract_params(scene, fields)
+    opt_state = optimizer.init(params)
+
+    o, d = camera_rays(camera, cfg.width, cfg.height)
+    target = jnp.asarray(target_image, jnp.float32).reshape(-1, 3)
+    n = o.shape[0]
+    start_step = 0
+
+    if mesh is not None:
+        pad = (-n) % mesh.size
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            # Padded targets get padded renders (both traced identically),
+            # so they only dilute the mean by a known constant factor.
+            target = jnp.concatenate([target, jnp.zeros((pad, 3))])
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        from raytpu.io.checkpoint import FitCheckpointer
+
+        ckpt = FitCheckpointer(checkpoint_dir)
+        restored = ckpt.restore_latest((params, opt_state))
+        if restored is not None:
+            start_step, (params, opt_state) = restored
+
+    step_fn = make_fit_step(scene, cfg, optimizer, mesh)
+    history = []
+    for i in range(start_step, steps):
+        params, opt_state, loss = step_fn(params, opt_state, o, d, target)
+        loss = float(loss)
+        history.append(loss)
+        if callback is not None:
+            callback(i, loss)
+        if ckpt is not None and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ckpt.save(i + 1, (params, opt_state))
+    return apply_params(scene, params), params, history

@@ -25,6 +25,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def pvary_tree(tree, axes):
+    """Promote every array in ``tree`` to device-varying over ``axes``
+    (no data movement — a shard_map type annotation)."""
+    if hasattr(jax.lax, "pcast"):
+        f = lambda x: jax.lax.pcast(x, axes, to="varying")
+    else:
+        f = lambda x: jax.lax.pvary(x, axes)
+    return jax.tree.map(f, tree)
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               axes: Tuple[str, ...] = ("rays",),
               shape: Optional[Tuple[int, ...]] = None) -> Mesh:

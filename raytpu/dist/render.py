@@ -56,10 +56,9 @@ def render_rays_sharded(scene: FlatScene, cfg: RenderConfig, origin, direction,
         # The replicated scene enters the shard unvarying; promote it to
         # device-varying so gathers inside scan/while bodies see consistent
         # manual-axes types (pvary is free — no data movement).
-        scene_var = jax.tree.map(
-            lambda x: jax.lax.pvary(x, mesh.axis_names), scene_rep
-        )
-        return render_rays(scene_var, cfg, o, d)
+        from raytpu.dist.mesh import pvary_tree
+
+        return render_rays(pvary_tree(scene_rep, mesh.axis_names), cfg, o, d)
 
     colors = shard_trace(scene, origin, direction)
     return colors[:n]

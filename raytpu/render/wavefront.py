@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from raytpu.accel.traverse import nearest_hit
+from raytpu.core import intersect
 from raytpu.config import Quantize, RenderConfig
 from raytpu.core.camera import Camera, camera_rays, rays_through_screen
 from raytpu.core.math3d import dot, normalize, reflect, refract_xna
@@ -124,6 +125,11 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             block=cfg.tri_block,
             brute_force_max_tris=cfg.brute_force_max_tris,
         )
+        if cfg.differentiable:
+            # Shadow visibility is discrete: detach the query (also severs
+            # reverse-mode from the traversal while_loop); transparent-
+            # occluder alpha stays differentiable via the tri_color gather.
+            shadow = jax.tree.map(jax.lax.stop_gradient, shadow)
         obstructed = shadow.hit & (shadow.t < sdist)
         occ_transparent = scene.mat_transparent[
             scene.mesh_material[scene.tri_mesh[shadow.tri]]
@@ -151,6 +157,32 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
         block=cfg.tri_block,
         brute_force_max_tris=cfg.brute_force_max_tris,
     )
+    soft_vis = None
+    if cfg.differentiable:
+        # Detach the discrete search, then recompute (u, v, t) from the hit
+        # triangle so gradients flow regardless of intersector backend.  The
+        # recompute uses the same formula on the same inputs → identical
+        # forward values (see core/intersect.py::moller_trumbore_safe).
+        hit = jax.tree.map(jax.lax.stop_gradient, hit)
+        safe_tri = jnp.maximum(hit.tri, 0)
+        u_d, v_d, t_d = intersect.moller_trumbore_safe(
+            rays.origin,
+            rays.direction,
+            scene.tri_v1[safe_tri],
+            scene.tri_e1[safe_tri],
+            scene.tri_e2[safe_tri],
+        )
+        u = jnp.where(hit.hit, u_d, 0.0)
+        v = jnp.where(hit.hit, v_d, 0.0)
+        if cfg.soft_tau > 0.0:
+            # Straight-through silhouette gradients: forward is the exact
+            # hard visibility; backward sees a sigmoid of the barycentric
+            # edge distance (diff/: soft-visibility north star).
+            edge = jnp.minimum(jnp.minimum(u_d, v_d), 1.0 - u_d - v_d)
+            soft = jax.nn.sigmoid(edge / cfg.soft_tau)
+            soft_vis = soft - jax.lax.stop_gradient(soft)
+        hit = hit._replace(u=u, v=v, t=jnp.where(hit.hit, t_d, hit.t))
+
     mask = hit.hit & rays.alive
     tri = hit.tri
     td = _gather_tri(scene, tri)
@@ -227,12 +259,15 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
         children = (refl_rays, refr_rays)
 
     m3 = mask[..., None]
-    record = LevelRecord(
-        mask=mask,
-        a=jnp.where(m3, a, 0.0),
-        b=jnp.where(m3, b, 0.0),
-        c=jnp.where(mask, c, 0.0),
-    )
+    a = jnp.where(m3, a, 0.0)
+    b = jnp.where(m3, b, 0.0)
+    c = jnp.where(mask, c, 0.0)
+    if soft_vis is not None:
+        # Zero-forward residual: scales hit lanes by (1 + soft - sg(soft)) so
+        # silhouette-adjacent hits carry d(pixel)/d(edge distance).
+        stm = 1.0 + jnp.where(mask, soft_vis, 0.0)
+        a, b, c = a * stm[..., None], b * stm[..., None], c * stm
+    record = LevelRecord(mask=mask, a=a, b=b, c=c)
     return record, children
 
 

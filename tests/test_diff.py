@@ -1,0 +1,186 @@
+"""Differentiable rendering: finite-difference checks, sharded-grad parity,
+and inverse-rendering fits (SURVEY.md §4 item 4, BASELINE config 4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from raytpu.config import Intersector, Quantize, RenderConfig
+from raytpu.diff import apply_params, extract_params, fit, make_fit_step, render_loss
+from raytpu.diff.params import GEOMETRY, TEXTURE
+from raytpu.dist import make_mesh
+from raytpu.core.camera import camera_rays
+from raytpu.render import render_image
+from raytpu.scene.flatten import flatten_scene
+
+from scenes import crate_scene, default_camera, small_cfg, sphere_and_plane_scene
+
+
+def diff_cfg(**kw):
+    kw.setdefault("quantize", Quantize.NONE)
+    kw.setdefault("differentiable", True)
+    return small_cfg(**kw)
+
+
+@pytest.fixture(scope="module")
+def crate():
+    return flatten_scene(crate_scene())
+
+
+def loss_of(scene, cfg, cam, params, target):
+    o, d = camera_rays(cam, cfg.width, cfg.height)
+    return render_loss(scene, cfg, params, o, d, target)
+
+
+def test_differentiable_forward_unchanged(crate):
+    """differentiable=True must not change forward pixels."""
+    cam = default_camera()
+    base = small_cfg(width=24, height=24, quantize=Quantize.NONE)
+    img_plain = np.asarray(render_image(crate, base, cam))
+    img_diff = np.asarray(
+        render_image(crate, dataclasses.replace(base, differentiable=True), cam)
+    )
+    np.testing.assert_array_equal(img_plain, img_diff)
+
+
+@pytest.mark.parametrize("intersector", [Intersector.BRUTE, Intersector.OCTREE])
+def test_geometry_grad_matches_finite_difference(crate, intersector):
+    """d(loss)/d(vertex) vs central differences, shading-only perturbation."""
+    cfg = diff_cfg(width=16, height=16, intersector=intersector)
+    cam = default_camera()
+    target = jnp.zeros((16 * 16, 3))
+    params = extract_params(crate, GEOMETRY)
+
+    g = jax.grad(lambda p: loss_of(crate, cfg, cam, p, target))(params)
+    rng = np.random.default_rng(3)
+    # Probe a few coordinates with |analytic| large enough to measure.
+    ga = np.asarray(g["tri_v1"])
+    flat = np.argsort(-np.abs(ga).ravel())[:3]
+    for idx in flat:
+        ti, ci = np.unravel_index(idx, ga.shape)
+        eps = 1e-3
+        for sign, store in ((+1, "hi"), (-1, "lo")):
+            p = {k: np.array(v) for k, v in params.items()}
+            p["tri_v1"][ti, ci] += sign * eps
+            val = float(loss_of(crate, cfg, cam, {k: jnp.asarray(v) for k, v in p.items()}, target))
+            if store == "hi":
+                hi = val
+            else:
+                lo = val
+        fd = (hi - lo) / (2 * eps)
+        assert np.isfinite(fd)
+        np.testing.assert_allclose(ga[ti, ci], fd, rtol=0.15, atol=1e-4)
+
+
+def test_texture_grad_matches_finite_difference(crate):
+    cfg = diff_cfg(width=16, height=16)
+    cam = default_camera()
+    target = jnp.zeros((16 * 16, 3))
+    params = extract_params(crate, TEXTURE)
+    g = np.asarray(
+        jax.grad(lambda p: loss_of(crate, cfg, cam, p, target))(params)["textures"]
+    )
+    idx = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    eps = 0.5  # texel values are 0..255
+    vals = []
+    for sign in (+1, -1):
+        t = np.array(params["textures"])
+        t[idx] += sign * eps
+        vals.append(float(loss_of(crate, cfg, cam, {"textures": jnp.asarray(t)}, target)))
+    fd = (vals[0] - vals[1]) / (2 * eps)
+    np.testing.assert_allclose(g[idx], fd, rtol=0.05, atol=1e-9)
+
+
+def test_sharded_grads_match_single_device(crate):
+    """psum-averaged sharded gradient == single-device gradient."""
+    cfg = diff_cfg(width=16, height=16)
+    cam = default_camera()
+    o, d = camera_rays(cam, 16, 16)
+    target = jnp.zeros((16 * 16, 3))
+    params = extract_params(crate, GEOMETRY)
+
+    g1 = jax.grad(render_loss, argnums=2)(crate, cfg, params, o, d, target)
+
+    mesh = make_mesh()
+    opt = optax.sgd(1.0)
+    step = make_fit_step(crate, cfg, opt, mesh)
+    new_params, _, loss = step(params, opt.init(params), o, d, target)
+    # sgd(1.0): params_new = params - grad  →  grad = params - params_new
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(params[k]) - np.asarray(new_params[k]),
+            np.asarray(g1[k]),
+            atol=1e-6,
+        )
+    assert np.isfinite(float(loss))
+
+
+def test_fit_recovers_texture(crate):
+    """Render a target with a known texture, randomize, fit it back."""
+    cfg = diff_cfg(width=24, height=24)
+    cam = default_camera()
+    target = render_image(crate, cfg, cam)
+
+    rng = np.random.default_rng(0)
+    noisy_tex = jnp.asarray(
+        np.clip(
+            np.asarray(crate.textures) + rng.normal(0, 60, crate.textures.shape),
+            0,
+            255,
+        ),
+        jnp.float32,
+    )
+    noisy = crate.replace(textures=noisy_tex)
+    loss0 = float(
+        loss_of(noisy, cfg, cam, extract_params(noisy, TEXTURE),
+                jnp.asarray(target).reshape(-1, 3))
+    )
+    fitted, _, hist = fit(
+        noisy, cfg, cam, target, fields=TEXTURE, steps=25, learning_rate=8.0
+    )
+    assert hist[-1] < 0.3 * loss0, (loss0, hist[-1])
+
+
+def test_geometry_gradient_is_descent_direction():
+    """A single step along -grad(vertices) reduces the pixel loss.
+
+    (Full geometry recovery needs multi-view / silhouette-aware losses —
+    the landscape has discrete shadow flips; what the framework must
+    guarantee is that the analytic gradient descends, which FD tests above
+    confirm coordinate-wise and this confirms for the full step.)"""
+    flat = flatten_scene(sphere_and_plane_scene(reflect=0.0))
+    cfg = diff_cfg(width=24, height=24)
+    cam = default_camera()
+    target = jnp.asarray(render_image(flat, cfg, cam)).reshape(-1, 3)
+
+    # Lower the ground plane: a smooth, shading-visible perturbation.
+    off = jnp.where(flat.tri_mesh[:, None] == 1, jnp.asarray([[0.0, -0.5, 0.0]]), 0.0)
+    shifted = flat.replace(tri_v1=flat.tri_v1 + off)
+    params = extract_params(shifted, ("tri_v1",))
+    loss0, g = jax.value_and_grad(
+        lambda p: loss_of(shifted, cfg, cam, p, target)
+    )(params)
+    stepped = {"tri_v1": params["tri_v1"] - 1e3 * g["tri_v1"]}
+    loss1 = float(loss_of(shifted, cfg, cam, stepped, target))
+    assert loss1 < 0.8 * float(loss0), (float(loss0), loss1)
+
+
+def test_fit_checkpoint_resume(tmp_path, crate):
+    cfg = diff_cfg(width=8, height=8)
+    cam = default_camera()
+    target = render_image(crate, cfg, cam)
+    kw = dict(
+        fields=TEXTURE, steps=4, learning_rate=1.0,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2,
+    )
+    seen = []
+    fit(crate, cfg, cam, target, callback=lambda i, l: seen.append(i), **kw)
+    assert seen == [0, 1, 2, 3]
+    seen.clear()
+    # Resume: latest checkpoint is step 4 → no further steps run.
+    fit(crate, cfg, cam, target, callback=lambda i, l: seen.append(i), **kw)
+    assert seen == []
