@@ -115,22 +115,37 @@ def nearest_hit_brute(scene, origin, direction, ignore_tri=None,
 
 def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
                        ignore_mesh=None, cull: bool = True) -> Hit:
-    """Stackless flattened-octree traversal, vmapped over rays.
+    """Batched stackless octree traversal (lockstep "while-while").
 
-    Per ray: walk nodes in preorder; descend (→ i+1) when the node AABB is
-    hit with entry distance below the current best t, otherwise jump to the
-    escape index.  Leaves run a bounded loop over their triangle range.
-    Exact nearest hit (strict-min update keeps scan-order tie-breaking
-    within a leaf; across duplicated leaves the hit is identical).
+    The whole ray batch advances together — no per-ray scalar program, so
+    XLA sees only dense (R,) / (R, chunk) operations:
+
+    - **inner loop**: every unfinished ray steps its preorder node pointer
+      (descend to ``i+1`` on AABB hit of an internal node with entry
+      distance below its current best t, else jump to ``skip[i]``) until it
+      parks on a leaf chunk or walks off the end.  Cost per iteration is a
+      6-float gather + slab test per ray.
+    - **leaf phase**: all parked rays test their chunk's pre-gathered
+      (chunk, 3) triangle block with one dense Möller–Trumbore + strict-min
+      update, then jump to ``skip`` (which chains multi-chunk leaves).
+
+    This is the classic batched traversal shape (cf. Aila & Laine's
+    while-while) restructured for the VPU: per-ray divergence costs masked
+    lanes, never recompilation or scalar loops.  Exact nearest hit —
+    strict-min keeps scan-order tie-breaking within a chunk; across
+    duplicated leaves the winning hit is identical.
     """
     oct_ = scene.octree
     node_min = oct_["node_min"]
     node_max = oct_["node_max"]
     node_skip = oct_["node_skip"]
-    node_is_leaf = oct_["node_is_leaf"]
-    node_leaf_start = oct_["node_leaf_start"]
-    node_leaf_count = oct_["node_leaf_count"]
-    leaf_tris = oct_["leaf_tris"]
+    node_chunk = oct_["node_chunk"]
+    leaf_tris = oct_["leaf_tris"]  # (C, CH)
+    leaf_v1 = oct_["leaf_v1"]
+    leaf_e1 = oct_["leaf_e1"]
+    leaf_e2 = oct_["leaf_e2"]
+    leaf_sn = oct_["leaf_snormal"]
+    leaf_mesh = oct_["leaf_mesh"]
     num_nodes = node_min.shape[0]
 
     r = origin.shape[0]
@@ -139,70 +154,78 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
     if ignore_mesh is None:
         ignore_mesh = jnp.full((r,), -1, jnp.int32)
 
-    def one_ray(o, d, ign_t, ign_m):
-        # NaN directions (the reference's TIR refraction rays) never hit.
-        bad = ~jnp.all(jnp.isfinite(d)) | ~jnp.all(jnp.isfinite(o))
+    # NaN rays (the reference's TIR refraction rays) never hit.
+    bad = ~(jnp.all(jnp.isfinite(direction), axis=-1)
+            & jnp.all(jnp.isfinite(origin), axis=-1))
 
-        def cond(state):
-            node, best_t, _, _, _ = state
-            return node < num_nodes
+    zero = jnp.zeros_like(origin[:, 0])
+    izero = zero.astype(jnp.int32)
+    state0 = (
+        jnp.where(bad, num_nodes, 0) + izero,  # node
+        zero + FLOAT_MAX,  # best_t
+        zero,  # best_u
+        zero,  # best_v
+        izero - 1,  # best_tri
+    )
 
-        def leaf_body(i, inner):
-            best_t, best_u, best_v, best_tri, start = inner
-            tri = leaf_tris[start + i]
-            okk, u, v, dist = moller_trumbore(
-                o, d, scene.tri_v1[tri], scene.tri_e1[tri], scene.tri_e2[tri]
+    def outer_cond(st):
+        return jnp.any(st[0] < num_nodes)
+
+    def outer_body(st):
+        node, best_t, best_u, best_v, best_tri = st
+
+        def inner_cond(s):
+            nd, parked = s[0], s[1]
+            return jnp.any((nd < num_nodes) & ~parked)
+
+        def inner_body(s):
+            nd, parked = s
+            safe = jnp.minimum(nd, num_nodes - 1)
+            box_hit, t_near = ray_aabb(
+                origin, direction, node_min[safe], node_max[safe]
             )
-            if cull:
-                okk &= dot(scene.tri_snormal[tri], d) <= 0.0
-            okk &= scene.tri_valid[tri]
-            okk &= tri != ign_t
-            okk &= scene.tri_mesh[tri] != ign_m
-            okk &= dist < best_t
-            best_u = jnp.where(okk, u, best_u)
-            best_v = jnp.where(okk, v, best_v)
-            best_tri = jnp.where(okk, tri, best_tri)
-            best_t = jnp.where(okk, dist, best_t)
-            return best_t, best_u, best_v, best_tri, start
-
-        def body(state):
-            node, best_t, best_u, best_v, best_tri = state
-            box_hit, t_near = ray_aabb(o, d, node_min[node], node_max[node])
+            active = (nd < num_nodes) & ~parked
             enter = box_hit & (t_near < best_t)
-            is_leaf = node_is_leaf[node]
+            is_leaf = node_chunk[safe] >= 0
+            newpark = active & enter & is_leaf
+            nxt = jnp.where(enter & ~is_leaf, nd + 1, node_skip[safe])
+            nd = jnp.where(active & ~newpark, nxt, nd)
+            return nd, parked | newpark
 
-            def do_leaf(args):
-                bt, bu, bv, btri = args
-                start = node_leaf_start[node]
-                count = node_leaf_count[node]
-                bt, bu, bv, btri, _ = jax.lax.fori_loop(
-                    0, count, leaf_body, (bt, bu, bv, btri, start)
-                )
-                return bt, bu, bv, btri
-
-            best_t, best_u, best_v, best_tri = jax.lax.cond(
-                enter & is_leaf,
-                do_leaf,
-                lambda a: a,
-                (best_t, best_u, best_v, best_tri),
-            )
-            next_node = jnp.where(enter & ~is_leaf, node + 1, node_skip[node])
-            return next_node, best_t, best_u, best_v, best_tri
-
-        # Init derived from the ray so the while carry is device-varying
-        # under shard_map manual axes.
-        zero = o[0] * 0.0
-        init = (
-            jnp.where(bad, num_nodes, 0) + zero.astype(jnp.int32),
-            zero + FLOAT_MAX,
-            zero,
-            zero,
-            zero.astype(jnp.int32) - 1,
+        node, parked = jax.lax.while_loop(
+            inner_cond, inner_body, (node, jnp.zeros_like(bad) & False)
         )
-        _, bt, bu, bv, btri = jax.lax.while_loop(cond, body, init)
-        return bt, bu, bv, btri
 
-    bt, bu, bv, btri = jax.vmap(one_ray)(origin, direction, ignore_tri, ignore_mesh)
+        # Leaf phase: dense (R, CH) test of each parked ray's chunk.
+        safe = jnp.minimum(node, num_nodes - 1)
+        row = jnp.where(parked, node_chunk[safe], 0)
+        tri_ids = leaf_tris[row]  # (R, CH)
+        ok, u, v, dist = moller_trumbore(
+            origin[:, None, :],
+            direction[:, None, :],
+            leaf_v1[row],
+            leaf_e1[row],
+            leaf_e2[row],
+        )
+        if cull:
+            ok &= dot(leaf_sn[row], direction[:, None, :]) <= 0.0
+        ok &= tri_ids >= 0
+        ok &= tri_ids != ignore_tri[:, None]
+        ok &= leaf_mesh[row] != ignore_mesh[:, None]
+        ok &= parked[:, None]
+        dist = jnp.where(ok, dist, FLOAT_MAX)
+        j = jnp.argmin(dist, axis=1)
+        rr = jnp.arange(r)
+        cand = dist[rr, j]
+        upd = cand < best_t
+        best_t = jnp.where(upd, cand, best_t)
+        best_u = jnp.where(upd, u[rr, j], best_u)
+        best_v = jnp.where(upd, v[rr, j], best_v)
+        best_tri = jnp.where(upd, tri_ids[rr, j], best_tri)
+        node = jnp.where(parked, node_skip[safe], node)
+        return node, best_t, best_u, best_v, best_tri
+
+    _, bt, bu, bv, btri = jax.lax.while_loop(outer_cond, outer_body, state0)
     return Hit(hit=btri >= 0, t=bt, u=bu, v=bv, tri=btri)
 
 

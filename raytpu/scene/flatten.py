@@ -172,7 +172,11 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
         textures=dev(textures),
         tex_hw=dev(tex_hw),
         lights={k: dev(a) for k, a in lights.items()},
-        octree=octree.as_device_arrays() if octree is not None else None,
+        octree=(
+            octree.as_device_arrays(v[:, 0], e1, e2, snormal, mesh_idx)
+            if octree is not None
+            else None
+        ),
         num_tris=num_tris,
         num_meshes=mesh_id,
         num_lights=len(scene.lights),

@@ -43,18 +43,35 @@ class TestOctreeBuild:
     def test_all_triangles_reachable(self, rng):
         tris = random_tris(rng, 300)
         oct_ = build_octree(tris, leaf_threshold=20, max_depth=8)
-        assert set(np.unique(oct_.leaf_tris)) == set(range(300))
-        # Escape indices are monotone and end at N.
-        assert oct_.node_skip[0] == len(oct_.node_min)
+        reached = set(np.unique(oct_.leaf_tris)) - {-1}
+        assert reached == set(range(300))
+        # Root escape covers the whole flat array.
+        assert oct_.node_skip[0] == len(oct_.node_min) or oct_.node_is_leaf[0]
 
-    def test_leaf_threshold_respected(self, rng):
+    def test_chunk_layout(self, rng):
         tris = random_tris(rng, 500)
-        oct_ = build_octree(tris, leaf_threshold=50, max_depth=10)
-        leaf_counts = oct_.node_leaf_count[oct_.node_is_leaf]
-        internal_depth_hit = (leaf_counts > 50).sum()
-        # Leaves above threshold only exist if max_depth clipped them; with
-        # spread-out random triangles depth 10 is plenty.
-        assert internal_depth_hit == 0
+        oct_ = build_octree(tris, leaf_threshold=50, max_depth=10, chunk=16)
+        # Every leaf slot's chunk row holds at most `chunk` valid entries and
+        # padding is -1 only in the tail.
+        assert oct_.leaf_tris.shape[1] == 16
+        valid = oct_.leaf_tris >= 0
+        # Valid entries are left-packed in each row.
+        first_invalid = np.argmin(valid, axis=1)
+        full_rows = valid.all(axis=1)
+        for row in range(oct_.leaf_tris.shape[0]):
+            if not full_rows[row]:
+                assert not valid[row, first_invalid[row]:].any()
+        # Leaf slots reference real rows; internal slots have -1.
+        assert (oct_.node_chunk[oct_.node_is_leaf] >= 0).all()
+        assert (oct_.node_chunk[~oct_.node_is_leaf] == -1).all()
+
+    def test_preorder_skip_monotone(self, rng):
+        tris = random_tris(rng, 400)
+        oct_ = build_octree(tris, leaf_threshold=20, max_depth=8)
+        n = len(oct_.node_min)
+        skips = oct_.node_skip
+        assert (skips > np.arange(n)).all()
+        assert (skips <= n).all()
 
 
 class TestTraversalVsBrute:
