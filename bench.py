@@ -1,0 +1,123 @@
+"""Headline benchmark: rays/sec/chip (primary + shadow) on a 1M-triangle mesh.
+
+Matches BASELINE.json's primary metric ("rays/sec/chip (primary+shadow) at
+1M tris"; north star >= 200M rays/s/chip on TPU v5p).  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+
+Scene: ~1M-triangle height-field mesh + one spot light.  Each frame casts
+W*H primary rays through the flattened-octree traversal plus W*H shadow
+rays (one light), i.e. rays/frame = 2 * W * H.  The renderer is the same
+jitted wavefront program the framework uses for real renders.
+
+Environment knobs: BENCH_TRIS (default ~1e6), BENCH_RES (default 1024),
+BENCH_REPS (default 4), BENCH_INTERSECTOR (octree|brute|pallas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TARGET_RAYS_PER_S = 200e6  # BASELINE.json north_star
+
+
+def build_scene(n_tris: int):
+    from raytpu.scene.lights import SpotLight
+    from raytpu.scene.procedural import subdivided_plane
+    from raytpu.scene.types import Material, Scene, SceneObject
+
+    divisions = max(8, int(round((n_tris / 2) ** 0.5)))
+    mesh = subdivided_plane(
+        size=(40.0, 40.0),
+        divisions=divisions,
+        material=Material(reflectiveness=0.0, diffuse_color=(0.7, 0.6, 0.5, 1.0)),
+        height_fn=lambda x, z: 2.0 * np.sin(x * 0.7) * np.cos(z * 0.7)
+        + 0.5 * np.sin(x * 3.1) * np.sin(z * 2.3),
+    )
+    scene = Scene(
+        objects=[SceneObject(meshes=[mesh])],
+        lights=[SpotLight(position=(0.0, 30.0, 25.0),
+                          direction=(0.0, -0.7682213, -0.6401844))],
+    )
+    return scene, mesh.num_triangles
+
+
+def main():
+    import jax
+
+    from raytpu.config import Intersector, Quantize, RenderConfig
+    from raytpu.core.camera import Camera, camera_rays
+    from raytpu.render.wavefront import render_rays
+
+    n_tris = int(float(os.environ.get("BENCH_TRIS", 1e6)))
+    res = int(os.environ.get("BENCH_RES", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 4))
+    backend = os.environ.get("BENCH_INTERSECTOR", "octree")
+
+    t0 = time.perf_counter()
+    scene, true_tris = build_scene(n_tris)
+    flat = scene.flatten(
+        build_octree=backend != "brute", leaf_threshold=50, max_depth=12
+    )
+    setup_s = time.perf_counter() - t0
+
+    cfg = RenderConfig(
+        width=res,
+        height=res,
+        max_reflections=0,  # primary + shadow only: the headline metric
+        intersector={
+            "octree": Intersector.OCTREE,
+            "brute": Intersector.BRUTE,
+            "pallas": Intersector.PALLAS,
+        }[backend],
+        tile_pixels=int(os.environ.get("BENCH_TILE", 32768)),
+        quantize=Quantize.NONE,
+    )
+    camera = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),
+                    aspect=1.0)
+    origin, direction = camera_rays(camera, cfg.width, cfg.height)
+    origin = jax.device_put(origin)
+    direction = jax.device_put(direction)
+
+    fn = jax.jit(lambda s, o, d: render_rays(s, cfg, o, d))
+
+    t0 = time.perf_counter()
+    img = fn(flat, origin, direction)
+    jax.block_until_ready(img)
+    compile_s = time.perf_counter() - t0
+
+    hit_frac = float(np.asarray(img).any(axis=-1).mean())
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(flat, origin, direction))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    rays_per_frame = 2 * res * res  # primary + shadow (1 light)
+    rays_per_s = rays_per_frame / best
+
+    print(
+        f"# device={jax.devices()[0].device_kind} tris={true_tris} "
+        f"res={res} backend={backend} setup={setup_s:.1f}s "
+        f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
+        f"times_ms={[round(t * 1e3, 1) for t in times]} "
+        f"nonblack={hit_frac:.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "rays_per_sec_per_chip_1Mtri_primary_shadow",
+        "value": round(rays_per_s),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,49 @@ def compose_world(scale_v, rotation_v, position_v):
     return m
 
 
+def compose_world_np(scale_v, rotation_v, position_v) -> "np.ndarray":
+    """Pure-NumPy twin of :func:`compose_world` for host-side scene baking.
+
+    Scene flattening runs on the host before any device work; going through
+    jnp here would compile dozens of tiny programs (very slow over a
+    remote-TPU tunnel).  Semantics identical: S · Rx · Ry · Rz · T with XNA
+    row-vector rotation matrices (SceneObject.cs:183-199).
+    """
+    import numpy as np
+
+    sx, sy, sz = (float(s) for s in np.asarray(scale_v).reshape(3))
+    ax, ay, az = (float(a) for a in np.asarray(rotation_v).reshape(3))
+    tx, ty, tz = (float(t) for t in np.asarray(position_v).reshape(3))
+
+    def rx(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array(
+            [[1, 0, 0, 0], [0, c, s, 0], [0, -s, c, 0], [0, 0, 0, 1]], np.float64
+        )
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array(
+            [[c, 0, -s, 0], [0, 1, 0, 0], [s, 0, c, 0], [0, 0, 0, 1]], np.float64
+        )
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array(
+            [[c, s, 0, 0], [-s, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64
+        )
+
+    m = np.diag([sx, sy, sz, 1.0]).astype(np.float64)
+    m = m @ rx(ax) @ ry(ay) @ rz(az)
+    t = np.eye(4)
+    t[3, :3] = (tx, ty, tz)
+    # Match float32 rounding of the jnp path: compose in float32 steps.
+    m32 = np.diag([sx, sy, sz, 1.0]).astype(np.float32)
+    for r in (rx(ax), ry(ay), rz(az), t):
+        m32 = (m32 @ r.astype(np.float32)).astype(np.float32)
+    return m32
+
+
 def quantize_color(v):
     """XNA ``new Color(Vector3)`` byte packing, as a float in [0, 1].
 

@@ -162,8 +162,10 @@ def subdivided_plane(size=(40.0, 40.0), y=0.0, divisions=64, material=None,
     b = a + 1
     c = a + cols
     d = c + 1
-    f1 = np.stack([a, b, c], -1)
-    f2 = np.stack([b, d, c], -1)
+    # Winding such that the face normal (normalize(cross(e2, e1)),
+    # TracerModelProcessor.cs:199-203) points +Y, like plane().
+    f1 = np.stack([a, c, b], -1)
+    f2 = np.stack([b, c, d], -1)
     faces = np.concatenate([f1, f2])
     # Smooth normals via face-normal accumulation.
     tri = pts[faces]

@@ -104,14 +104,11 @@ class SceneObject:
     name: str = ""
 
     def world_matrix(self) -> np.ndarray:
+        # Host-side NumPy (scene baking must not touch the device — tiny jnp
+        # ops each compile a program, pathological over a remote-TPU tunnel).
         from raytpu.core import xna
 
-        m = xna.compose_world(
-            jnp.asarray(self.scale, jnp.float32),
-            jnp.asarray(self.rotation, jnp.float32),
-            jnp.asarray(self.position, jnp.float32),
-        )
-        return np.asarray(m, np.float32)
+        return xna.compose_world_np(self.scale, self.rotation, self.position)
 
 
 @dataclasses.dataclass
