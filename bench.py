@@ -52,17 +52,18 @@ def main():
 
     from raytpu.config import Intersector, Quantize, RenderConfig
     from raytpu.core.camera import Camera, camera_rays
-    from raytpu.render.wavefront import render_rays
+    from raytpu.render.wavefront import block_order_perm, render_rays
 
     n_tris = int(float(os.environ.get("BENCH_TRIS", 1e6)))
     res = int(os.environ.get("BENCH_RES", 1024))
     reps = int(os.environ.get("BENCH_REPS", 4))
-    backend = os.environ.get("BENCH_INTERSECTOR", "octree")
+    backend = os.environ.get("BENCH_INTERSECTOR", "tiled")
 
     t0 = time.perf_counter()
     scene, true_tris = build_scene(n_tris)
     flat = scene.flatten(
-        build_octree=backend != "brute", leaf_threshold=50, max_depth=12
+        build_octree=backend == "octree", leaf_threshold=50, max_depth=12,
+        build_clusters=backend in ("tiled", "pallas"),
     )
     setup_s = time.perf_counter() - t0
 
@@ -74,6 +75,7 @@ def main():
             "octree": Intersector.OCTREE,
             "brute": Intersector.BRUTE,
             "pallas": Intersector.PALLAS,
+            "tiled": Intersector.TILED,
         }[backend],
         tile_pixels=int(os.environ.get("BENCH_TILE", 32768)),
         quantize=Quantize.NONE,
@@ -81,8 +83,10 @@ def main():
     camera = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),
                     aspect=1.0)
     origin, direction = camera_rays(camera, cfg.width, cfg.height)
-    origin = jax.device_put(origin)
-    direction = jax.device_put(direction)
+    # Square-block ray order, exactly as render_image traces frames.
+    perm = block_order_perm(cfg.width, cfg.height, max(1, int(cfg.cull_tile ** 0.5)))
+    origin = jax.device_put(origin[perm])
+    direction = jax.device_put(direction[perm])
 
     fn = jax.jit(lambda s, o, d: render_rays(s, cfg, o, d))
 

@@ -1,0 +1,167 @@
+"""Morton-ordered triangle clusters — the TPU-native acceleration structure.
+
+The reference accelerates rays with a two-level recursive octree walked one
+node at a time per ray (MeshOctree.cs:259-353, OctreeSpatialManager.cs:312-
+482).  A per-ray pointer walk is the wrong shape for a TPU: every step is a
+data-dependent gather and the lockstep batch pays the deepest ray's latency
+on every lane (see accel/traverse.py, kept for parity).  The TPU-native
+structure inverts it:
+
+- **Clusters, not nodes.**  Triangles are sorted by the Morton code of their
+  centroid and grouped into fixed-size clusters of ``cluster_size``
+  (lane-width 128 by default).  Morton order makes consecutive triangles
+  spatially local, so cluster AABBs are tight — the same locality the
+  reference's octree leaves capture (MeshOctree.cs:224-232), but with **zero
+  duplication**, contiguous memory per cluster, and a flat table instead of
+  a pointer tree.
+- **Dense culling, not traversal.**  A batch of rays is tiled; each tile is
+  summarized by an origin AABB + direction interval box, and every
+  (tile, cluster) pair gets one conservative interval slab test — a dense
+  (tiles, clusters) VPU computation replacing per-ray tree descent
+  (accel/tiled.py).
+- **Front-to-back chunks, not sorted leaf lists.**  Candidate clusters are
+  ordered by conservative entry distance and tested chunk-by-chunk with a
+  strict-min update until every ray's best hit precedes the next chunk —
+  the batched analog of the reference's sorted-leaf early-stop
+  (MeshOctree.cs:281-306), with *exact* nearest-hit semantics.
+
+Build is host-side vectorized NumPy (the content-processor stage of the
+pipeline, TracerModelProcessor.cs:105-119); the device table is a dict of
+flat arrays pre-gathered in Morton order so the hot loop reads contiguous
+(chunk, 128)-triangle blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+def morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave three 10-bit integer coordinates into a 30-bit Morton code."""
+
+    def spread(v):
+        v = v.astype(np.uint64) & np.uint64(0x3FF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) | spread(z)
+
+
+@dataclasses.dataclass
+class ClusterTable:
+    """Host-side cluster build result.
+
+    ``order``: (Tp,) original triangle index per Morton-ordered slot
+    (-1 padding); ``cluster_min/max``: (NC, 3) cluster AABBs.
+    """
+
+    order: np.ndarray
+    cluster_min: np.ndarray
+    cluster_max: np.ndarray
+    cluster_size: int
+
+    @property
+    def num_clusters(self) -> int:
+        return self.cluster_min.shape[0]
+
+    def as_device_arrays(self, tri_v1, tri_e1, tri_e2, tri_snormal, tri_mesh):
+        """Device dict: cluster AABBs + triangle geometry permuted into Morton
+        order (slot -> original id in ``tri_id``; padding slots are degenerate
+        triangles with ``tri_id == -1`` that can never be hit)."""
+        import jax.numpy as jnp
+
+        safe = np.maximum(self.order, 0)
+        pad = self.order < 0
+
+        def perm(a, fill=0.0):
+            out = np.asarray(a)[safe].copy()
+            out[pad] = fill
+            return jnp.asarray(out)
+
+        tri_id = np.where(pad, -1, safe).astype(np.int32)
+        mesh = np.where(pad, -1, np.asarray(tri_mesh)[safe]).astype(np.int32)
+
+        def permh(a, fill=0.0):
+            out = np.asarray(a, np.float32)[safe].copy()
+            out[pad] = fill
+            return out
+
+        # Packed per-cluster blocks for the Pallas kernel's DMA path:
+        # geom (NC, 12, C) rows = v1.xyz, e1.xyz, e2.xyz, snormal.xyz;
+        # ids  (NC, 2, C)  rows = original triangle id, mesh id.
+        nc = self.num_clusters
+        c = self.cluster_size
+        geom = np.stack(
+            [permh(tri_v1)[:, k] for k in range(3)]
+            + [permh(tri_e1)[:, k] for k in range(3)]
+            + [permh(tri_e2)[:, k] for k in range(3)]
+            + [permh(tri_snormal)[:, k] for k in range(3)],
+            axis=0,
+        ).reshape(12, nc, c).transpose(1, 0, 2)
+        ids = np.stack([tri_id, mesh], axis=0).reshape(2, nc, c).transpose(
+            1, 0, 2
+        )
+
+        return {
+            "cluster_min": jnp.asarray(self.cluster_min),
+            "cluster_max": jnp.asarray(self.cluster_max),
+            "tri_id": jnp.asarray(tri_id),
+            "tri_v1": perm(tri_v1),
+            "tri_e1": perm(tri_e1),
+            "tri_e2": perm(tri_e2),
+            "tri_snormal": perm(tri_snormal),
+            "tri_mesh": jnp.asarray(mesh),
+            "geom": jnp.asarray(np.ascontiguousarray(geom)),
+            "ids": jnp.asarray(np.ascontiguousarray(ids)),
+        }
+
+
+def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
+                   valid: Optional[np.ndarray] = None) -> ClusterTable:
+    """Cluster ``tri_verts`` (T, 3, 3) into Morton-ordered groups.
+
+    O(T log T) host time, fully vectorized; rebuilds are cheap enough to run
+    per-epoch while fitting geometry (diff/fit.py).
+    """
+    v = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
+    t = v.shape[0]
+    if valid is None:
+        valid = np.ones(t, bool)
+    idx = np.flatnonzero(valid)
+    centroids = v[idx].mean(axis=1)
+
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-30)
+    q = np.clip(((centroids - lo) / extent) * 1023.0, 0, 1023).astype(np.uint32)
+    codes = morton3(q[:, 0], q[:, 1], q[:, 2])
+    order = idx[np.argsort(codes, kind="stable")].astype(np.int64)
+
+    n = order.shape[0]
+    nc = max(1, -(-n // cluster_size))
+    slots = np.full(nc * cluster_size, -1, np.int64)
+    slots[:n] = order
+
+    member = v[np.maximum(slots, 0)]  # (Tp, 3, 3)
+    big = np.float32(3.4028235e38)
+    mn = np.where(slots[:, None, None] >= 0, member, big).reshape(
+        nc, cluster_size, 3, 3
+    )
+    mx = np.where(slots[:, None, None] >= 0, member, -big).reshape(
+        nc, cluster_size, 3, 3
+    )
+    cluster_min = mn.min(axis=(1, 2))
+    cluster_max = mx.max(axis=(1, 2))
+
+    return ClusterTable(
+        order=slots,
+        cluster_min=cluster_min.astype(np.float32),
+        cluster_max=cluster_max.astype(np.float32),
+        cluster_size=cluster_size,
+    )

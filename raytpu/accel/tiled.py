@@ -1,0 +1,262 @@
+"""Tiled cull + dense chunk testing over Morton clusters (accel/clusters.py).
+
+The TPU-native replacement for per-ray octree descent.  Query pipeline for a
+ray batch (R,):
+
+1. **Tile summary** — rays are grouped into tiles of ``tile_size``; each tile
+   is summarized by an origin AABB and a direction interval box.  Primary
+   rays in raster order are naturally coherent (the reference's scanline
+   locality, RayTracer.cs:391-428); secondary rays inherit the coherence of
+   the surface they bounced off.
+2. **Conservative cull** — one interval-arithmetic slab test per
+   (tile, cluster) pair: a dense (NT, NC) VPU computation that yields a
+   may-hit mask and a lower bound on the entry distance.  This replaces the
+   reference's recursive node walk (MeshOctree.cs:328-353) with one dense op.
+3. **Front-to-back chunks** — each tile sorts its candidate clusters by the
+   entry bound, then all tiles walk their lists in lockstep chunks of
+   ``chunk`` clusters: pre-gathered (128-triangle) Morton blocks are tested
+   with one dense Möller–Trumbore + strict-min per chunk.  A tile stops when
+   every ray's best hit distance is <= the next chunk's entry bound (the
+   exact-correct analog of the reference's first-hit-group early stop,
+   MeshOctree.cs:281-306) or its list is exhausted.
+
+Exact nearest hit.  Tie-breaking on *exactly* equal distances follows Morton
+order rather than the reference's original scan order — the only observable
+deviation, and only for degenerate coincident geometry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.accel.traverse import FLOAT_MAX, Hit
+from raytpu.core.intersect import moller_trumbore
+from raytpu.core.math3d import dot
+
+INF = FLOAT_MAX
+
+
+def _axis_t_interval(s_lo, s_hi, d_lo, d_hi):
+    """Conservative interval of t >= 0 with t*d in [s_lo, s_hi] for some
+    d in [d_lo, d_hi].  Returns (t_lo, t_hi, feasible)."""
+    big = INF
+
+    def div(a, b, default):
+        return jnp.where(b != 0.0, a / jnp.where(b == 0.0, 1.0, b), default)
+
+    # Case A: interval strictly positive — need d > 0.
+    a_feas = d_hi > 0.0
+    a_lo = div(s_lo, d_hi, big)
+    a_hi = jnp.where(d_lo > 0.0, div(s_hi, d_lo, big), big)
+
+    # Case B: interval strictly negative — need d < 0.
+    b_feas = d_lo < 0.0
+    b_lo = div(s_hi, d_lo, big)
+    b_hi = jnp.where(d_hi < 0.0, div(s_lo, d_hi, big), big)
+
+    # Case C: 0 in [s_lo, s_hi] — t = 0 always feasible.
+    c_hi_pos = jnp.where(d_lo > 0.0, div(s_hi, d_lo, big), big)
+    c_hi_neg = jnp.where(d_hi < 0.0, div(s_lo, d_hi, big), big)
+    c_hi = jnp.minimum(c_hi_pos, c_hi_neg)
+
+    pos = s_lo > 0.0
+    neg = s_hi < 0.0
+    t_lo = jnp.where(pos, a_lo, jnp.where(neg, b_lo, 0.0))
+    t_hi = jnp.where(pos, a_hi, jnp.where(neg, b_hi, c_hi))
+    feas = jnp.where(pos, a_feas, jnp.where(neg, b_feas, True))
+    return t_lo, t_hi, feas
+
+
+def cull_clusters(o_min, o_max, d_min, d_max, cl_min, cl_max):
+    """Conservative (tiles, clusters) may-hit test.
+
+    ``o_min/o_max/d_min/d_max``: (NT, 3) tile bounds; ``cl_min/cl_max``:
+    (NC, 3).  Returns (mask, entry_lower_bound) of shape (NT, NC).
+    """
+    t_lo = jnp.zeros(o_min.shape[:1] + cl_min.shape[:1], o_min.dtype)
+    t_hi = jnp.full_like(t_lo, INF)
+    feas = jnp.ones_like(t_lo, bool)
+    for k in range(3):
+        s_lo = cl_min[None, :, k] - o_max[:, None, k]
+        s_hi = cl_max[None, :, k] - o_min[:, None, k]
+        lo_k, hi_k, f_k = _axis_t_interval(
+            s_lo, s_hi, d_min[:, None, k], d_max[:, None, k]
+        )
+        t_lo = jnp.maximum(t_lo, lo_k)
+        t_hi = jnp.minimum(t_hi, hi_k)
+        feas &= f_k
+    mask = feas & (t_lo <= t_hi)
+    return mask, jnp.where(mask, t_lo, INF)
+
+
+def _pad_to_tiles(a, tile, fill):
+    n = a.shape[0]
+    pad = (-n) % tile
+    if pad:
+        filler = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+        a = jnp.concatenate([a, filler])
+    return a
+
+
+def prepare_tiles(scene, origin, direction, ignore_tri, ignore_mesh, t_max,
+                  tile_size: int):
+    """Shared front half of the tiled/Pallas backends: pad the ray batch to
+    tiles, compute per-tile bounds, and cull clusters.
+
+    Returns ``(o, d, itri, imesh, tmax)`` reshaped to (NT, TS[, 3]) and the
+    ``(mask, entry)`` result of :func:`cull_clusters` (entry == INF outside
+    the mask and beyond the tile's t_max).
+    """
+    cl = scene.clusters
+    r = origin.shape[0]
+    if ignore_tri is None:
+        ignore_tri = jnp.full((r,), -1, jnp.int32)
+    if ignore_mesh is None:
+        ignore_mesh = jnp.full((r,), -1, jnp.int32)
+    if t_max is None:
+        t_max = jnp.full((r,), INF, origin.dtype)
+
+    ts = min(tile_size, max(r, 1))
+    o = _pad_to_tiles(origin, ts, 0.0)
+    d = _pad_to_tiles(direction, ts, 1.0)
+    itri = _pad_to_tiles(ignore_tri, ts, -1)
+    imesh = _pad_to_tiles(ignore_mesh, ts, -1)
+    tmax = _pad_to_tiles(t_max, ts, 0.0).reshape(-1, ts)
+    nt = o.shape[0] // ts
+    o = o.reshape(nt, ts, 3)
+    d = d.reshape(nt, ts, 3)
+    itri = itri.reshape(nt, ts)
+    imesh = imesh.reshape(nt, ts)
+
+    # Rays with non-finite components (the reference's TIR refraction rays)
+    # never hit; exclude them from the tile bounds so they don't poison them.
+    finite = jnp.all(jnp.isfinite(o), -1) & jnp.all(jnp.isfinite(d), -1)
+    fo = jnp.where(finite[..., None], o, 0.0)
+    fd = jnp.where(finite[..., None], d, 0.0)
+    big = jnp.where(finite[..., None], 0.0, INF)
+    o_min = jnp.min(fo + big, axis=1)
+    o_max = jnp.max(fo - big, axis=1)
+    d_min = jnp.min(fd + big, axis=1)
+    d_max = jnp.max(fd - big, axis=1)
+    any_finite = jnp.any(finite, axis=1)
+    o_min = jnp.where(any_finite[:, None], o_min, 0.0)
+    o_max = jnp.where(any_finite[:, None], o_max, 0.0)
+    d_min = jnp.where(any_finite[:, None], d_min, 1.0)
+    d_max = jnp.where(any_finite[:, None], d_max, 1.0)
+
+    mask, entry = cull_clusters(
+        o_min, o_max, d_min, d_max, cl["cluster_min"], cl["cluster_max"]
+    )
+    # Clusters entirely beyond every ray's bound can never matter.
+    tile_tmax = jnp.max(tmax, axis=1)
+    mask &= entry < tile_tmax[:, None]
+    entry = jnp.where(mask, entry, INF)
+    return (o, d, itri, imesh, tmax), (mask, entry)
+
+
+def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
+                      ignore_mesh=None, cull: bool = True,
+                      tile_size: int = 1024, chunk: int = 1,
+                      t_max=None) -> Hit:
+    """Exact nearest hit via tiled cull + front-to-back dense chunks.
+
+    ``t_max`` (per-ray, optional) bounds the search: hits at ``t >= t_max``
+    are never reported and — critically — a tile stops scanning once the
+    next chunk's entry bound exceeds every ray's bound.  Shadow queries pass
+    the light distance so unoccluded rays terminate at the light instead of
+    scanning their whole candidate list to prove a miss
+    (IsLightPathObstructed's early-out analog, RayTracer.cs:465-502).
+    """
+    cl = scene.clusters
+    csize = cl["tri_v1"].shape[0] // cl["cluster_min"].shape[0]
+    nc = cl["cluster_min"].shape[0]
+
+    r = origin.shape[0]
+    (o, d, itri, imesh, tmax), (mask, entry) = prepare_tiles(
+        scene, origin, direction, ignore_tri, ignore_mesh, t_max, tile_size
+    )
+    nt, ts = o.shape[:2]
+    rp = nt * ts
+
+    # Per-tile front-to-back candidate order.
+    keys, cand = jax.lax.sort_key_val(
+        entry, jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), entry.shape)
+    )
+    counts = jnp.sum(mask, axis=1)  # (NT,)
+    max_chunks = -(-nc // chunk)
+
+    cc = chunk * csize  # triangles per chunk
+    arange_c = jnp.arange(cc, dtype=jnp.int32)
+
+    def body(state):
+        i, done, best_t, best_u, best_v, best_tri = state
+        cid = jax.lax.dynamic_slice_in_dim(cand, i * chunk, chunk, axis=1)
+        slot = (cid[:, :, None] * csize
+                + jnp.arange(csize, dtype=jnp.int32)).reshape(nt, cc)
+        v1 = cl["tri_v1"][slot]
+        e1 = cl["tri_e1"][slot]
+        e2 = cl["tri_e2"][slot]
+        tid = cl["tri_id"][slot]
+        tmesh = cl["tri_mesh"][slot]
+
+        ok, u, v, dist = moller_trumbore(
+            o[:, :, None, :], d[:, :, None, :],
+            v1[:, None], e1[:, None], e2[:, None],
+        )
+        if cull:
+            sn = cl["tri_snormal"][slot]
+            ok &= dot(sn[:, None], d[:, :, None, :]) <= 0.0
+        ok &= tid[:, None, :] >= 0
+        ok &= tid[:, None, :] != itri[:, :, None]
+        ok &= tmesh[:, None, :] != imesh[:, :, None]
+        ok &= ~done[:, None, None]
+        dist = jnp.where(ok, dist, INF)
+        j = jnp.argmin(dist, axis=2)
+        t_c = jnp.take_along_axis(dist, j[..., None], axis=2)[..., 0]
+        upd = t_c < best_t
+        best_t = jnp.where(upd, t_c, best_t)
+        best_u = jnp.where(
+            upd, jnp.take_along_axis(u, j[..., None], axis=2)[..., 0], best_u
+        )
+        best_v = jnp.where(
+            upd, jnp.take_along_axis(v, j[..., None], axis=2)[..., 0], best_v
+        )
+        best_tri = jnp.where(
+            upd, jnp.take_along_axis(tid[:, None, :].repeat(ts, 1),
+                                     j[..., None], axis=2)[..., 0], best_tri
+        )
+
+        nxt = i + 1
+        exhausted = (nxt * chunk) >= counts
+        next_entry = jnp.where(
+            nxt * chunk < nc,
+            jax.lax.dynamic_slice_in_dim(
+                keys, jnp.minimum(nxt * chunk, nc - 1), 1, axis=1
+            )[:, 0],
+            INF,
+        )
+        settled = jnp.all(best_t <= next_entry[:, None], axis=1)
+        done = done | exhausted | settled
+        return nxt, done, best_t, best_u, best_v, best_tri
+
+    def cond(state):
+        i, done = state[0], state[1]
+        return (i < max_chunks) & jnp.any(~done)
+
+    zero = jnp.zeros((nt, ts), o.dtype)
+    izero = zero.astype(jnp.int32)
+    init = (
+        jnp.int32(0),
+        counts == 0,
+        zero + tmax,  # best_t starts at the per-ray bound
+        zero,
+        zero,
+        izero - 1,
+    )
+    _, _, bt, bu, bv, btri = jax.lax.while_loop(cond, body, init)
+    flat = lambda a: a.reshape(rp)[:r]
+    btri = flat(btri)
+    hit = btri >= 0
+    t = jnp.where(hit, flat(bt), INF)  # misses report INF, not t_max
+    return Hit(hit=hit, t=t, u=flat(bu), v=flat(bv), tri=btri)

@@ -58,7 +58,7 @@ def _tri_hits(scene, origin, direction, tri_idx, ignore_tri, ignore_mesh, cull):
 
 def nearest_hit_brute(scene, origin, direction, ignore_tri=None,
                       ignore_mesh=None, cull: bool = True,
-                      block: int = 2048) -> Hit:
+                      block: int = 2048, t_max=None) -> Hit:
     """Dense sweep over all triangles, blocked to bound memory.
 
     The TPU-natural formulation: every block is a (R, B) elementwise
@@ -102,7 +102,7 @@ def nearest_hit_brute(scene, origin, direction, ignore_tri=None,
     # the scan carry type matches under shard_map manual axes.
     zero_r = jnp.zeros_like(origin[:, 0])
     init = (
-        zero_r + FLOAT_MAX,
+        zero_r + (FLOAT_MAX if t_max is None else t_max),
         zero_r,
         zero_r,
         zero_r.astype(jnp.int32) - 1,
@@ -110,11 +110,13 @@ def nearest_hit_brute(scene, origin, direction, ignore_tri=None,
     blocks = (idx_all.reshape(nblocks, block), in_range.reshape(nblocks, block))
     (best_t, best_u, best_v, best_tri), _ = jax.lax.scan(body, init, blocks)
     hit = best_tri >= 0
+    best_t = jnp.where(hit, best_t, FLOAT_MAX)
     return Hit(hit=hit, t=best_t, u=best_u, v=best_v, tri=best_tri)
 
 
 def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
-                       ignore_mesh=None, cull: bool = True) -> Hit:
+                       ignore_mesh=None, cull: bool = True,
+                       t_max=None) -> Hit:
     """Batched stackless octree traversal (lockstep "while-while").
 
     The whole ray batch advances together — no per-ray scalar program, so
@@ -162,7 +164,9 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
     izero = zero.astype(jnp.int32)
     state0 = (
         jnp.where(bad, num_nodes, 0) + izero,  # node
-        zero + FLOAT_MAX,  # best_t
+        # best_t starts at the per-ray bound: prunes node entry (t_near <
+        # best_t) and bounds the scan, e.g. shadow rays stop at the light.
+        zero + (FLOAT_MAX if t_max is None else t_max),
         zero,  # best_u
         zero,  # best_v
         izero - 1,  # best_tri
@@ -226,12 +230,14 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
         return node, best_t, best_u, best_v, best_tri
 
     _, bt, bu, bv, btri = jax.lax.while_loop(outer_cond, outer_body, state0)
-    return Hit(hit=btri >= 0, t=bt, u=bu, v=bv, tri=btri)
+    hit = btri >= 0
+    return Hit(hit=hit, t=jnp.where(hit, bt, FLOAT_MAX), u=bu, v=bv, tri=btri)
 
 
 def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
                 cull: bool = True, intersector="auto", block: int = 2048,
-                brute_force_max_tris: int = 4096) -> Hit:
+                brute_force_max_tris: int = 4096, cull_tile: int = 1024,
+                cull_chunk: int = 1, t_max=None) -> Hit:
     """Dispatch by configured intersector (config.Intersector)."""
     from raytpu.config import Intersector
 
@@ -242,24 +248,39 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
             "brute": Intersector.BRUTE,
             "octree": Intersector.OCTREE,
             "pallas": Intersector.PALLAS,
+            "tiled": Intersector.TILED,
         }[mode]
     if mode == Intersector.AUTO:
-        if scene.octree is not None and scene.num_tris > brute_force_max_tris:
+        if scene.num_tris <= brute_force_max_tris:
+            mode = Intersector.BRUTE
+        elif getattr(scene, "clusters", None) is not None:
+            mode = Intersector.TILED
+        elif scene.octree is not None:
             mode = Intersector.OCTREE
         else:
             mode = Intersector.BRUTE
     if mode == Intersector.BRUTE:
         return nearest_hit_brute(
-            scene, origin, direction, ignore_tri, ignore_mesh, cull, block
+            scene, origin, direction, ignore_tri, ignore_mesh, cull, block,
+            t_max=t_max,
         )
     if mode == Intersector.OCTREE:
         return nearest_hit_octree(
-            scene, origin, direction, ignore_tri, ignore_mesh, cull
+            scene, origin, direction, ignore_tri, ignore_mesh, cull,
+            t_max=t_max,
+        )
+    if mode == Intersector.TILED:
+        from raytpu.accel.tiled import nearest_hit_tiled
+
+        return nearest_hit_tiled(
+            scene, origin, direction, ignore_tri, ignore_mesh, cull,
+            tile_size=cull_tile, chunk=cull_chunk, t_max=t_max,
         )
     if mode == Intersector.PALLAS:
         from raytpu.kernels.dispatch import nearest_hit_pallas
 
         return nearest_hit_pallas(
-            scene, origin, direction, ignore_tri, ignore_mesh, cull
+            scene, origin, direction, ignore_tri, ignore_mesh, cull,
+            tile_size=cull_tile, chunk=cull_chunk, t_max=t_max,
         )
     raise ValueError(mode)

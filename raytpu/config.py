@@ -50,7 +50,8 @@ class Intersector(enum.IntEnum):
     AUTO = 0
     BRUTE = 1  # dense ray-tile x triangle-block sweep (small scenes)
     OCTREE = 2  # stackless flattened-octree traversal (pure JAX while_loop)
-    PALLAS = 3  # Pallas fused traversal+intersection kernels
+    PALLAS = 3  # Pallas fused cull+intersection kernels
+    TILED = 4  # tiled cluster cull + front-to-back dense chunks (XLA)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,9 +84,12 @@ class RenderConfig:
     tile_pixels: int = 16384
     # Triangle block size for the brute-force intersector sweep.
     tri_block: int = 2048
-    # Intersector switches to octree traversal above this triangle count
+    # Intersector switches to cluster culling above this triangle count
     # when intersector == AUTO.
     brute_force_max_tris: int = 4096
+    # Rays per cull tile and clusters per dense chunk (accel/tiled.py).
+    cull_tile: int = 1024
+    cull_chunk: int = 1
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
     # pixel gradients flow to geometry/normals/UVs/materials/texels through

@@ -73,8 +73,14 @@ def render_image_sharded(scene: FlatScene, cfg: RenderConfig,
     """
     from raytpu.dist.mesh import make_mesh
 
+    from raytpu.render.wavefront import block_order_perm
+
     mesh = mesh or make_mesh()
     camera = camera or Camera(aspect=cfg.width / cfg.height)
     o, d = camera_rays(camera, cfg.width, cfg.height)
-    colors = render_rays_sharded(scene, cfg, o, d, mesh)
+    # Block-major ray order: compact cull-tile cones per device chunk.
+    block = max(1, int(cfg.cull_tile ** 0.5))
+    perm = block_order_perm(cfg.width, cfg.height, block)
+    colors = render_rays_sharded(scene, cfg, o[perm], d[perm], mesh)
+    colors = jnp.zeros_like(colors).at[perm].set(colors)
     return colors.reshape(cfg.height, cfg.width, 3)

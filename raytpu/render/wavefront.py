@@ -104,26 +104,37 @@ def _surface_color(scene: FlatScene, cfg: RenderConfig, tri_data, mat, u, v):
 
 
 def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
-                  hit_tri):
+                  hit_tri, valid):
     """Per-fragment light sum with shadow rays (RayTracer.cs:533-542).
 
     Shadow attenuation: opaque occluder blocks fully, transparent occluder
     attenuates by its triangle alpha (IsLightPathObstructed,
     RayTracer.cs:465-502).
+
+    ``valid`` masks live fragments: dead lanes (missed/expired rays) carry
+    garbage ``frag_pos`` from the ``tri == -1`` gather, so their shadow rays
+    are marked non-finite — they can never hit and, critically, the tiled
+    backends exclude them from the cull-tile bounds (accel/tiled.py).
     """
     total = jnp.zeros_like(frag_pos)
     lt = scene.lights
+    nanv = jnp.float32(jnp.nan)
     for i in range(scene.num_lights):
         sdir, sdist = lights_mod.light_shadow_query(lt, i, frag_pos)
         shadow = nearest_hit(
             scene,
             frag_pos,
-            sdir,
+            jnp.where(valid[..., None], sdir, nanv),
             ignore_tri=hit_tri,
             cull=True,
             intersector=cfg.intersector,
             block=cfg.tri_block,
             brute_force_max_tris=cfg.brute_force_max_tris,
+            cull_tile=cfg.cull_tile,
+            cull_chunk=cfg.cull_chunk,
+            # Bound the search at the light: occluders beyond it are
+            # irrelevant and unoccluded rays stop scanning early.
+            t_max=sdist,
         )
         if cfg.differentiable:
             # Shadow visibility is discrete: detach the query (also severs
@@ -149,13 +160,17 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     hit = nearest_hit(
         scene,
         rays.origin,
-        rays.direction,
+        # Dead lanes become non-finite: they can never hit and the tiled
+        # backends exclude them from cull-tile bounds (accel/tiled.py).
+        jnp.where(rays.alive[..., None], rays.direction, jnp.float32(jnp.nan)),
         ignore_tri=rays.ignore_tri,
         ignore_mesh=rays.ignore_mesh,
         cull=True,
         intersector=cfg.intersector,
         block=cfg.tri_block,
         brute_force_max_tris=cfg.brute_force_max_tris,
+        cull_tile=cfg.cull_tile,
+        cull_chunk=cfg.cull_chunk,
     )
     soft_vis = None
     if cfg.differentiable:
@@ -202,7 +217,7 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     # since instances are baked).
     frag_pos = td["v1"] + td["e1"] * hit.u[..., None] + td["e2"] * hit.v[..., None]
 
-    light = _light_result(scene, cfg, frag_pos, normal, tri)
+    light = _light_result(scene, cfg, frag_pos, normal, tri, mask)
     surface = _surface_color(scene, cfg, td, mat, hit.u, hit.v)
 
     refl = scene.mat_reflect[mat][..., None]
@@ -351,12 +366,29 @@ def render_rays(scene: FlatScene, cfg: RenderConfig, origin, direction):
     return colors.reshape(-1, 3)[:n]
 
 
+def block_order_perm(width: int, height: int, block: int):
+    """Raster indices in square-block-major order.
+
+    The cull tiles of accel/tiled.py are consecutive ray runs; square pixel
+    blocks give each tile a compact direction cone (and compact secondary-
+    ray footprints), where raster runs of whole scanlines would give a
+    degenerate wide one.  Pure permutation — per-ray results are identical,
+    this only regroups them (the TPU analog of the reference handing out
+    scanlines, RayTracer.cs:49-52, except the unit is a tile).
+    """
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    ys, xs = ys.ravel(), xs.ravel()
+    return np.lexsort((xs % block, ys % block, xs // block, ys // block))
+
+
 def render_image(scene: FlatScene, cfg: RenderConfig,
                  camera: Optional[Camera] = None):
     """Full-frame render → (H, W, 3) float32 in [0, 1].
 
     The Render/RenderAsync equivalent (RayTracer.cs:391-428): primary rays
-    through integer pixel coordinates, raster order.  With
+    through integer pixel coordinates, traced in square-block order.  With
     ``cfg.use_multisampling`` the adaptive 4-corner supersampler runs
     instead (RayTracer.cs:128-311).
     """
@@ -366,5 +398,8 @@ def render_image(scene: FlatScene, cfg: RenderConfig,
 
         return render_image_multisampled(scene, cfg, camera)
     o, d = camera_rays(camera, cfg.width, cfg.height)
-    colors = render_rays(scene, cfg, o, d)
-    return colors.reshape(cfg.height, cfg.width, 3)
+    block = max(1, int(cfg.cull_tile ** 0.5))
+    perm = block_order_perm(cfg.width, cfg.height, block)
+    colors = render_rays(scene, cfg, o[perm], d[perm])
+    out = jnp.zeros_like(colors).at[perm].set(colors)
+    return out.reshape(cfg.height, cfg.width, 3)

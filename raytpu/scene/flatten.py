@@ -33,7 +33,8 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
 def flatten_scene(scene: Scene, max_lights: int = 4,
                   pad_tris_to: Optional[int] = None,
                   build_octree: bool = True, leaf_threshold: int = 50,
-                  max_depth: int = 12) -> FlatScene:
+                  max_depth: int = 12, build_clusters: bool = True,
+                  cluster_size: int = 128) -> FlatScene:
     tri_v = []
     tri_n = []
     tri_uv = []
@@ -106,6 +107,12 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
 
         octree = build_octree(v, leaf_threshold=leaf_threshold, max_depth=max_depth)
 
+    clusters = None
+    if build_clusters:
+        from raytpu.accel.clusters import build_clusters as _build_clusters
+
+        clusters = _build_clusters(v, cluster_size=cluster_size)
+
     pad_to = pad_tris_to or num_tris
     if pad_to < num_tris:
         raise ValueError("pad_tris_to smaller than triangle count")
@@ -175,6 +182,11 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
         octree=(
             octree.as_device_arrays(v[:, 0], e1, e2, snormal, mesh_idx)
             if octree is not None
+            else None
+        ),
+        clusters=(
+            clusters.as_device_arrays(v[:, 0], e1, e2, snormal, mesh_idx)
+            if clusters is not None
             else None
         ),
         num_tris=num_tris,

@@ -120,7 +120,8 @@ class Scene:
 
     def flatten(self, max_lights: int = 4, pad_tris_to: Optional[int] = None,
                 build_octree: bool = True, leaf_threshold: int = 50,
-                max_depth: int = 12) -> "FlatScene":
+                max_depth: int = 12, build_clusters: bool = True,
+                cluster_size: int = 128) -> "FlatScene":
         from raytpu.scene.flatten import flatten_scene
 
         return flatten_scene(
@@ -130,6 +131,8 @@ class Scene:
             build_octree=build_octree,
             leaf_threshold=leaf_threshold,
             max_depth=max_depth,
+            build_clusters=build_clusters,
+            cluster_size=cluster_size,
         )
 
 
@@ -178,6 +181,10 @@ class FlatScene(flax.struct.PyTreeNode):
 
     # Acceleration structure (FlatOctree as a dict of arrays) or None.
     octree: Any
+
+    # Morton-cluster table (accel/clusters.py dict of arrays) or None — the
+    # TPU-native fast path (accel/tiled.py).
+    clusters: Any = None
 
     # --- static metadata (not traced) ---
     num_tris: int = flax.struct.field(pytree_node=False, default=0)

@@ -106,3 +106,70 @@ class TestTraversalVsBrute:
         # The previously-hit triangle is never returned again.
         assert not np.any(np.asarray(hb2.tri)[m] == np.asarray(ign)[m])
         np.testing.assert_array_equal(np.asarray(hb2.tri), np.asarray(ho2.tri))
+
+
+class TestTiledVsBrute:
+    """Tiled cluster cull (accel/tiled.py) vs brute force — exact nearest hit."""
+
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=16
+        )
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    @pytest.mark.parametrize("cull", [True, False])
+    @pytest.mark.parametrize("tile,chunk", [(64, 1), (64, 4), (1024, 2)])
+    def test_match_incoherent(self, flat, rng, cull, tile, chunk):
+        from raytpu.accel.tiled import nearest_hit_tiled
+
+        o, d = self._rays(rng, 256)
+        hb = nearest_hit_brute(flat, o, d, cull=cull, block=128)
+        ht = nearest_hit_tiled(flat, o, d, cull=cull, tile_size=tile, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(ht.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(ht.t)[m], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(ht.tri)[m])
+
+    def test_match_coherent_camera(self, flat, rng):
+        from raytpu.accel.tiled import nearest_hit_tiled
+        from raytpu.core.camera import Camera, camera_rays
+
+        cam = Camera(position=(0.0, 16.0, 32.0), aspect=1.0)
+        o, d = camera_rays(cam, 48, 48)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        ht = nearest_hit_tiled(flat, o, d, tile_size=256, chunk=2)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(ht.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(ht.t)[m], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m], np.asarray(ht.tri)[m])
+
+    def test_ignore_tri_and_mesh(self, flat, rng):
+        from raytpu.accel.tiled import nearest_hit_tiled
+
+        o, d = self._rays(rng, 128)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        ign = hb.tri
+        hb2 = nearest_hit_brute(flat, o, d, ignore_tri=ign, block=128)
+        ht2 = nearest_hit_tiled(flat, o, d, ignore_tri=ign, tile_size=64)
+        np.testing.assert_array_equal(np.asarray(hb2.tri), np.asarray(ht2.tri))
+        imesh = jnp.zeros(o.shape[0], jnp.int32)  # ignore the sphere mesh
+        hb3 = nearest_hit_brute(flat, o, d, ignore_mesh=imesh, block=128)
+        ht3 = nearest_hit_tiled(flat, o, d, ignore_mesh=imesh, tile_size=64)
+        np.testing.assert_array_equal(np.asarray(hb3.tri), np.asarray(ht3.tri))
+
+    def test_nonfinite_rays_miss(self, flat):
+        from raytpu.accel.tiled import nearest_hit_tiled
+
+        o = jnp.zeros((8, 3), jnp.float32).at[2, 1].set(jnp.nan)
+        d = jnp.ones((8, 3), jnp.float32) / np.sqrt(3.0)
+        d = d.at[5, 0].set(jnp.nan)
+        o = o.at[:, 1].add(5.0)
+        ht = nearest_hit_tiled(flat, o, d, tile_size=8)
+        assert not bool(ht.hit[2]) and not bool(ht.hit[5])
