@@ -111,6 +111,8 @@ class ClusterTable:
         return {
             "cluster_min": jnp.asarray(self.cluster_min),
             "cluster_max": jnp.asarray(self.cluster_max),
+            "root_min": jnp.asarray(self.cluster_min.min(axis=0)),
+            "root_max": jnp.asarray(self.cluster_max.max(axis=0)),
             "tri_id": jnp.asarray(tri_id),
             "tri_v1": perm(tri_v1),
             "tri_e1": perm(tri_e1),

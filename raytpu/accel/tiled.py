@@ -145,6 +145,24 @@ def prepare_tiles(scene, origin, direction, ignore_tri, ignore_mesh, t_max,
     d_min = jnp.where(any_finite[:, None], d_min, 1.0)
     d_max = jnp.where(any_finite[:, None], d_max, 1.0)
 
+    # Per-ray search bound from the scene's root AABB: every triangle lies
+    # inside it, so any hit satisfies t < exit-of-root (with margin for f32
+    # slab error).  Sky rays miss the root box entirely (t_max -> 0, they
+    # settle immediately instead of scanning the whole candidate list to
+    # prove a miss); surface rays stop at the backdrop instead of infinity.
+    if "root_min" in cl:
+        diag = jnp.max(cl["root_max"] - cl["root_min"])
+        margin = 1e-3 * diag + 1e-4
+        safe_d = jnp.where(d == 0.0, 1e-30, d)
+        t1 = (cl["root_min"] - margin - o) / safe_d
+        t2 = (cl["root_max"] + margin - o) / safe_d
+        t_en = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        t_ex = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
+        cap = jnp.where(root_hit, t_ex * (1.0 + 1e-5) + margin, 0.0)
+        cap = jnp.where(jnp.isfinite(cap), cap, 0.0)
+        tmax = jnp.minimum(tmax, cap)
+
     mask, entry = cull_clusters(
         o_min, o_max, d_min, d_max, cl["cluster_min"], cl["cluster_max"]
     )
@@ -155,39 +173,21 @@ def prepare_tiles(scene, origin, direction, ignore_tri, ignore_mesh, t_max,
     return (o, d, itri, imesh, tmax), (mask, entry)
 
 
-def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
-                      ignore_mesh=None, cull: bool = True,
-                      tile_size: int = 1024, chunk: int = 1,
-                      t_max=None) -> Hit:
-    """Exact nearest hit via tiled cull + front-to-back dense chunks.
+def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
+                    cull: bool, init, start=0):
+    """Lockstep front-to-back chunk scan over sorted candidates.
 
-    ``t_max`` (per-ray, optional) bounds the search: hits at ``t >= t_max``
-    are never reported and — critically — a tile stops scanning once the
-    next chunk's entry bound exceeds every ray's bound.  Shadow queries pass
-    the light distance so unoccluded rays terminate at the light instead of
-    scanning their whole candidate list to prove a miss
-    (IsLightPathObstructed's early-out analog, RayTracer.cs:465-502).
+    All tiles advance together; a tile's lanes stop updating once it is done
+    (exhausted candidates or settled: every ray's best <= next entry bound).
+    ``init`` is the (done, best_t, best_u, best_v, best_tri) starting state —
+    the Pallas dispatcher continues from its kernel results at chunk
+    ``start`` for overflowed tiles (kernels/dispatch.py).
     """
-    cl = scene.clusters
-    csize = cl["tri_v1"].shape[0] // cl["cluster_min"].shape[0]
-    nc = cl["cluster_min"].shape[0]
-
-    r = origin.shape[0]
-    (o, d, itri, imesh, tmax), (mask, entry) = prepare_tiles(
-        scene, origin, direction, ignore_tri, ignore_mesh, t_max, tile_size
-    )
     nt, ts = o.shape[:2]
-    rp = nt * ts
-
-    # Per-tile front-to-back candidate order.
-    keys, cand = jax.lax.sort_key_val(
-        entry, jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), entry.shape)
-    )
-    counts = jnp.sum(mask, axis=1)  # (NT,)
+    nc = cand.shape[1]
+    csize = cl["tri_v1"].shape[0] // cl["cluster_min"].shape[0]
     max_chunks = -(-nc // chunk)
-
     cc = chunk * csize  # triangles per chunk
-    arange_c = jnp.arange(cc, dtype=jnp.int32)
 
     def body(state):
         i, done, best_t, best_u, best_v, best_tri = state
@@ -244,17 +244,52 @@ def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
         i, done = state[0], state[1]
         return (i < max_chunks) & jnp.any(~done)
 
+    state0 = (jnp.int32(start),) + tuple(init)
+    _, _, bt, bu, bv, btri = jax.lax.while_loop(cond, body, state0)
+    return bt, bu, bv, btri
+
+
+def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
+                      ignore_mesh=None, cull: bool = True,
+                      tile_size: int = 1024, chunk: int = 1,
+                      t_max=None) -> Hit:
+    """Exact nearest hit via tiled cull + front-to-back dense chunks.
+
+    ``t_max`` (per-ray, optional) bounds the search: hits at ``t >= t_max``
+    are never reported and — critically — a tile stops scanning once the
+    next chunk's entry bound exceeds every ray's bound.  Shadow queries pass
+    the light distance so unoccluded rays terminate at the light instead of
+    scanning their whole candidate list to prove a miss
+    (IsLightPathObstructed's early-out analog, RayTracer.cs:465-502).
+    """
+    cl = scene.clusters
+    nc = cl["cluster_min"].shape[0]
+
+    r = origin.shape[0]
+    (o, d, itri, imesh, tmax), (mask, entry) = prepare_tiles(
+        scene, origin, direction, ignore_tri, ignore_mesh, t_max, tile_size
+    )
+    nt, ts = o.shape[:2]
+    rp = nt * ts
+
+    # Per-tile front-to-back candidate order.
+    keys, cand = jax.lax.sort_key_val(
+        entry, jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), entry.shape)
+    )
+    counts = jnp.sum(mask, axis=1)  # (NT,)
+
     zero = jnp.zeros((nt, ts), o.dtype)
     izero = zero.astype(jnp.int32)
     init = (
-        jnp.int32(0),
         counts == 0,
         zero + tmax,  # best_t starts at the per-ray bound
         zero,
         zero,
         izero - 1,
     )
-    _, _, bt, bu, bv, btri = jax.lax.while_loop(cond, body, init)
+    bt, bu, bv, btri = lockstep_chunks(
+        cl, o, d, itri, imesh, cand, keys, counts, chunk, cull, init
+    )
     flat = lambda a: a.reshape(rp)[:r]
     btri = flat(btri)
     hit = btri >= 0

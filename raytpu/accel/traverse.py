@@ -236,8 +236,8 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
 
 def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
                 cull: bool = True, intersector="auto", block: int = 2048,
-                brute_force_max_tris: int = 4096, cull_tile: int = 1024,
-                cull_chunk: int = 1, t_max=None) -> Hit:
+                brute_force_max_tris: int = 4096, cull_tile: int = 256,
+                cull_chunk: int = 1, cull_maxc: int = 128, t_max=None) -> Hit:
     """Dispatch by configured intersector (config.Intersector)."""
     from raytpu.config import Intersector
 
@@ -251,10 +251,17 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
             "tiled": Intersector.TILED,
         }[mode]
     if mode == Intersector.AUTO:
+        clusters = getattr(scene, "clusters", None)
         if scene.num_tris <= brute_force_max_tris:
             mode = Intersector.BRUTE
-        elif getattr(scene, "clusters", None) is not None:
-            mode = Intersector.TILED
+        elif clusters is not None:
+            # The fused kernel on a real TPU; the exact XLA path elsewhere
+            # (interpret-mode Pallas is far slower than XLA on CPU).
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            aligned = clusters["geom"].shape[2] % 128 == 0
+            mode = (
+                Intersector.PALLAS if on_tpu and aligned else Intersector.TILED
+            )
         elif scene.octree is not None:
             mode = Intersector.OCTREE
         else:
@@ -281,6 +288,7 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
 
         return nearest_hit_pallas(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
-            tile_size=cull_tile, chunk=cull_chunk, t_max=t_max,
+            tile_size=cull_tile, chunk=cull_chunk, maxc=cull_maxc,
+            t_max=t_max,
         )
     raise ValueError(mode)

@@ -88,8 +88,15 @@ class RenderConfig:
     # when intersector == AUTO.
     brute_force_max_tris: int = 4096
     # Rays per cull tile and clusters per dense chunk (accel/tiled.py).
-    cull_tile: int = 1024
+    # 256 rays (16x16-pixel blocks) balances cone tightness against VPU
+    # shape efficiency on v5e (measured optimum at 1M tris).
+    cull_tile: int = 256
     cull_chunk: int = 1
+    # Max candidate clusters per tile handed to the Pallas kernel; tiles
+    # with more candidates continue in the exact XLA tail
+    # (kernels/dispatch.py) - correct but slow, so size this above the
+    # typical per-tile candidate count.
+    cull_maxc: int = 256
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
     # pixel gradients flow to geometry/normals/UVs/materials/texels through

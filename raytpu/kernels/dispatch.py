@@ -13,7 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from raytpu.accel.tiled import INF, nearest_hit_tiled, prepare_tiles
+from raytpu.accel.tiled import (INF, lockstep_chunks, nearest_hit_tiled,
+                                prepare_tiles)
 from raytpu.accel.traverse import Hit
 from raytpu.kernels.intersect import intersect_tiles
 
@@ -55,29 +56,45 @@ def nearest_hit_pallas(scene, origin, direction, ignore_tri=None,
     counts_raw = jnp.sum(mask, axis=1)
     counts = jnp.minimum(counts_raw, maxc)
 
-    bt, bu, bv, btri = intersect_tiles(
+    bt, bu, bv, btri, iters = intersect_tiles(
         counts, cand, keys, o, d, tmax, itri, imesh,
         cl["geom"], cl["ids"], cull=cull, interpret=interpret,
     )
+
+    if maxc < nc:
+        # Overflow tail: tiles with more than maxc candidates that did not
+        # settle inside the kernel continue in the exact lockstep scan,
+        # seeded with the kernel's best state.  It restarts at chunk 0 (the
+        # already-tested clusters re-test as no-ops under strict-min and the
+        # settle check skips past them immediately), so correctness never
+        # depends on top_k/sort agreeing about ties at the maxc boundary.
+        pending = (counts_raw > maxc) & (iters >= maxc)
+
+        def tail(args):
+            bt, bu, bv, btri = args
+            keys_f, cand_f = jax.lax.sort_key_val(
+                entry,
+                jnp.broadcast_to(
+                    jnp.arange(nc, dtype=jnp.int32), entry.shape
+                ),
+            )
+            init = (~pending, bt, bu, bv, btri)
+            return lockstep_chunks(
+                cl, o, d, itri, imesh, cand_f, keys_f, counts_raw,
+                1, cull, init,
+            )
+
+        bt, bu, bv, btri = jax.lax.cond(
+            jnp.any(pending), tail, lambda a: a, (bt, bu, bv, btri)
+        )
+
     flat = lambda a: a.reshape(nt * ts)[:r]
     btri = flat(btri)
     hit = btri >= 0
-    kernel_hit = Hit(
+    return Hit(
         hit=hit,
         t=jnp.where(hit, flat(bt), INF),
         u=flat(bu),
         v=flat(bv),
         tri=btri,
     )
-    if maxc >= nc:
-        return kernel_hit  # no tile can overflow
-
-    overflow = jnp.any(counts_raw > maxc)
-
-    def exact(_):
-        return nearest_hit_tiled(
-            scene, origin, direction, ignore_tri, ignore_mesh, cull,
-            tile_size=tile_size, t_max=t_max,
-        )
-
-    return jax.lax.cond(overflow, exact, lambda _: kernel_hit, None)

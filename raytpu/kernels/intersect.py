@@ -38,7 +38,7 @@ def _intersect_kernel(
     geom_hbm,  # (NC, 12, C) f32
     ids_hbm,  # (NC, 2, C) i32
     # VMEM outputs (1, TS)
-    out_t, out_u, out_v, out_tri,
+    out_t, out_u, out_v, out_tri, out_iters,
     # scratch
     geom_buf,  # (2, 12, C) f32
     ids_buf,  # (2, 2, C) i32
@@ -158,6 +158,7 @@ def _intersect_kernel(
     out_u[0, 0, :] = bu[:, 0]
     out_v[0, 0, :] = bv[:, 0]
     out_tri[0, 0, :] = btri[:, 0]
+    out_iters[0, 0, 0] = ci_f  # clusters actually tested (diagnostics)
 
 
 @functools.partial(
@@ -198,12 +199,16 @@ def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
             hbm,
             hbm,
         ],
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 4 + [
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
+            jax.ShapeDtypeStruct((nt, 1, 1), i32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 12, csize), f32),
@@ -225,4 +230,6 @@ def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
         geom,
         ids,
     )
-    return tuple(a.reshape(nt, ts) for a in outs)
+    return tuple(a.reshape(nt, ts) for a in outs[:4]) + (
+        outs[4].reshape(nt),  # clusters tested per tile
+    )

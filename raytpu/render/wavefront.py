@@ -132,6 +132,7 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             brute_force_max_tris=cfg.brute_force_max_tris,
             cull_tile=cfg.cull_tile,
             cull_chunk=cfg.cull_chunk,
+            cull_maxc=cfg.cull_maxc,
             # Bound the search at the light: occluders beyond it are
             # irrelevant and unoccluded rays stop scanning early.
             t_max=sdist,
@@ -171,6 +172,7 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
         brute_force_max_tris=cfg.brute_force_max_tris,
         cull_tile=cfg.cull_tile,
         cull_chunk=cfg.cull_chunk,
+        cull_maxc=cfg.cull_maxc,
     )
     soft_vis = None
     if cfg.differentiable:
