@@ -57,7 +57,7 @@ def main():
     n_tris = int(float(os.environ.get("BENCH_TRIS", 1e6)))
     res = int(os.environ.get("BENCH_RES", 1024))
     reps = int(os.environ.get("BENCH_REPS", 4))
-    backend = os.environ.get("BENCH_INTERSECTOR", "tiled")
+    backend = os.environ.get("BENCH_INTERSECTOR", "pallas")
 
     t0 = time.perf_counter()
     scene, true_tris = build_scene(n_tris)
@@ -72,6 +72,7 @@ def main():
         height=res,
         max_reflections=0,  # primary + shadow only: the headline metric
         intersector={
+            "auto": Intersector.AUTO,
             "octree": Intersector.OCTREE,
             "brute": Intersector.BRUTE,
             "pallas": Intersector.PALLAS,
