@@ -92,21 +92,39 @@ class ClusterTable:
             out[pad] = fill
             return out
 
-        # Packed per-cluster blocks for the Pallas kernel's DMA path:
-        # geom (NC, 12, C) rows = v1.xyz, e1.xyz, e2.xyz, snormal.xyz;
-        # ids  (NC, 2, C)  rows = original triangle id, mesh id.
+        # Packed per-cluster block for the Pallas kernel's DMA path:
+        # (NC, 24, C) f32 in the *triple-product* form of Möller–Trumbore
+        # (kernels/intersect.py): with per-ray w = d x o,
+        #   det   = d·N            N  = cross(e2, e1)  (rows 0-2)
+        #   u*det = w·E2n + d·M1n  M1n = cross(v1, e2) (3-5), E2n = -e2 (6-8)
+        #   v*det = w·E1  + d·M2   M2 = cross(e1, v1)  (9-11), E1 = e1 (12-14)
+        #   t*det = c0 - o·N       c0 = v1·N           (row 15)
+        # Row 16 = triangle id (i32 bits), 17 = mesh id (i32 bits),
+        # 18-23 zero padding.  One block = one DMA; the row count is a
+        # multiple of 8 so Mosaic can slice it under (8, 128) tiling.
         nc = self.num_clusters
         c = self.cluster_size
-        geom = np.stack(
-            [permh(tri_v1)[:, k] for k in range(3)]
-            + [permh(tri_e1)[:, k] for k in range(3)]
-            + [permh(tri_e2)[:, k] for k in range(3)]
-            + [permh(tri_snormal)[:, k] for k in range(3)],
-            axis=0,
-        ).reshape(12, nc, c).transpose(1, 0, 2)
-        ids = np.stack([tri_id, mesh], axis=0).reshape(2, nc, c).transpose(
-            1, 0, 2
+        v1h = permh(tri_v1)
+        e1h = permh(tri_e1)
+        e2h = permh(tri_e2)
+        nrm = np.cross(e2h, e1h)
+        m1n = np.cross(v1h, e2h)
+        m2 = np.cross(e1h, v1h)
+        c0 = np.sum(v1h * nrm, axis=-1)
+        block = np.zeros((24, nc, c), np.float32)
+        rows = (
+            [nrm[:, k] for k in range(3)]
+            + [m1n[:, k] for k in range(3)]
+            + [-e2h[:, k] for k in range(3)]
+            + [m2[:, k] for k in range(3)]
+            + [e1h[:, k] for k in range(3)]
+            + [c0]
         )
+        for i, r in enumerate(rows):
+            block[i] = r.reshape(nc, c)
+        block[16] = tri_id.reshape(nc, c).view(np.float32)
+        block[17] = mesh.reshape(nc, c).view(np.float32)
+        block = np.ascontiguousarray(block.transpose(1, 0, 2))
 
         return {
             "cluster_min": jnp.asarray(self.cluster_min),
@@ -119,8 +137,7 @@ class ClusterTable:
             "tri_e2": perm(tri_e2),
             "tri_snormal": perm(tri_snormal),
             "tri_mesh": jnp.asarray(mesh),
-            "geom": jnp.asarray(np.ascontiguousarray(geom)),
-            "ids": jnp.asarray(np.ascontiguousarray(ids)),
+            "block": jnp.asarray(block),
         }
 
 

@@ -174,7 +174,8 @@ def prepare_tiles(scene, origin, direction, ignore_tri, ignore_mesh, t_max,
 
 
 def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
-                    cull: bool, init, start=0):
+                    cull: bool, init, start=0, any_hit: bool = False,
+                    tmax0=None):
     """Lockstep front-to-back chunk scan over sorted candidates.
 
     All tiles advance together; a tile's lanes stop updating once it is done
@@ -182,6 +183,11 @@ def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
     ``init`` is the (done, best_t, best_u, best_v, best_tri) starting state —
     the Pallas dispatcher continues from its kernel results at chunk
     ``start`` for overflowed tiles (kernels/dispatch.py).
+
+    ``any_hit`` (occlusion queries): a tile settles once every ray either
+    found *some* hit inside its bound ``tmax0`` or is provably clear (next
+    entry bound beyond its ``tmax0``) — the reported hit may not be the
+    nearest, but the hit/no-hit boolean is exact.
     """
     nt, ts = o.shape[:2]
     nc = cand.shape[1]
@@ -236,7 +242,11 @@ def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
             )[:, 0],
             INF,
         )
-        settled = jnp.all(best_t <= next_entry[:, None], axis=1)
+        if any_hit:
+            resolved = (best_t < tmax0) | (tmax0 <= next_entry[:, None])
+            settled = jnp.all(resolved, axis=1)
+        else:
+            settled = jnp.all(best_t <= next_entry[:, None], axis=1)
         done = done | exhausted | settled
         return nxt, done, best_t, best_u, best_v, best_tri
 
@@ -252,7 +262,7 @@ def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
 def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
                       ignore_mesh=None, cull: bool = True,
                       tile_size: int = 1024, chunk: int = 1,
-                      t_max=None) -> Hit:
+                      t_max=None, any_hit: bool = False) -> Hit:
     """Exact nearest hit via tiled cull + front-to-back dense chunks.
 
     ``t_max`` (per-ray, optional) bounds the search: hits at ``t >= t_max``
@@ -288,7 +298,8 @@ def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
         izero - 1,
     )
     bt, bu, bv, btri = lockstep_chunks(
-        cl, o, d, itri, imesh, cand, keys, counts, chunk, cull, init
+        cl, o, d, itri, imesh, cand, keys, counts, chunk, cull, init,
+        any_hit=any_hit, tmax0=tmax,
     )
     flat = lambda a: a.reshape(rp)[:r]
     btri = flat(btri)

@@ -237,8 +237,17 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
 def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
                 cull: bool = True, intersector="auto", block: int = 2048,
                 brute_force_max_tris: int = 4096, cull_tile: int = 256,
-                cull_chunk: int = 1, cull_maxc: int = 128, t_max=None) -> Hit:
-    """Dispatch by configured intersector (config.Intersector)."""
+                cull_chunk: int = 1, cull_maxc: int = 128, t_max=None,
+                any_hit: bool = False) -> Hit:
+    """Dispatch by configured intersector (config.Intersector).
+
+    ``any_hit``: occlusion-query mode — the hit/no-hit boolean (against
+    ``t_max``) is exact but the reported hit may not be the nearest, letting
+    the tiled/Pallas backends stop at the first qualifying hit
+    (IsLightPathObstructed's early-out, RayTracer.cs:465-502).  Only valid
+    when the caller uses nothing but ``Hit.hit``.  BRUTE/OCTREE ignore it
+    (they return the nearest hit, whose boolean is identical).
+    """
     from raytpu.config import Intersector
 
     mode = intersector
@@ -258,7 +267,7 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
             # The fused kernel on a real TPU; the exact XLA path elsewhere
             # (interpret-mode Pallas is far slower than XLA on CPU).
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            aligned = clusters["geom"].shape[2] % 128 == 0
+            aligned = clusters["block"].shape[2] % 128 == 0
             mode = (
                 Intersector.PALLAS if on_tpu and aligned else Intersector.TILED
             )
@@ -282,6 +291,7 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
         return nearest_hit_tiled(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             tile_size=cull_tile, chunk=cull_chunk, t_max=t_max,
+            any_hit=any_hit,
         )
     if mode == Intersector.PALLAS:
         from raytpu.kernels.dispatch import nearest_hit_pallas
@@ -289,6 +299,6 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
         return nearest_hit_pallas(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             tile_size=cull_tile, chunk=cull_chunk, maxc=cull_maxc,
-            t_max=t_max,
+            t_max=t_max, any_hit=any_hit,
         )
     raise ValueError(mode)

@@ -27,20 +27,20 @@ def nearest_hit_pallas(scene, origin, direction, ignore_tri=None,
                        ignore_mesh=None, cull: bool = True,
                        tile_size: int = 1024, chunk: int = 1,
                        t_max=None, maxc: int = 512,
-                       interpret=None) -> Hit:
+                       any_hit: bool = False, interpret=None) -> Hit:
     """Exact nearest hit via the fused Pallas kernel."""
     del chunk  # the kernel always walks one cluster at a time
     if interpret is None:
         interpret = _default_interpret()
     cl = scene.clusters
     nc = cl["cluster_min"].shape[0]
-    csize = cl["geom"].shape[2]
+    csize = cl["block"].shape[2]
     if not interpret and csize % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; small test clusters
         # run through the exact XLA backend instead.
         return nearest_hit_tiled(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
-            tile_size=tile_size, t_max=t_max,
+            tile_size=tile_size, t_max=t_max, any_hit=any_hit,
         )
     maxc = min(maxc, nc)
 
@@ -58,7 +58,7 @@ def nearest_hit_pallas(scene, origin, direction, ignore_tri=None,
 
     bt, bu, bv, btri, iters = intersect_tiles(
         counts, cand, keys, o, d, tmax, itri, imesh,
-        cl["geom"], cl["ids"], cull=cull, interpret=interpret,
+        cl["block"], cull=cull, any_hit=any_hit, interpret=interpret,
     )
 
     if maxc < nc:
@@ -81,7 +81,7 @@ def nearest_hit_pallas(scene, origin, direction, ignore_tri=None,
             init = (~pending, bt, bu, bv, btri)
             return lockstep_chunks(
                 cl, o, d, itri, imesh, cand_f, keys_f, counts_raw,
-                1, cull, init,
+                1, cull, init, any_hit=any_hit, tmax0=tmax,
             )
 
         bt, bu, bv, btri = jax.lax.cond(

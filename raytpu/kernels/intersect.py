@@ -2,10 +2,11 @@
 
 One grid step per ray tile.  The tile's rays live in VMEM for the whole
 search; sorted candidate clusters (computed by the XLA cull,
-accel/tiled.py::prepare_tiles) stream in from HBM as packed (12, C) geometry
-blocks with double-buffered DMA; each is tested with a dense (TS, C)
-Möller–Trumbore (identical arithmetic to core/intersect.py::moller_trumbore)
-and a strict-min update.  The tile stops — *its own* early exit, unlike the
+accel/tiled.py::prepare_tiles) stream in from HBM as packed (24, C) blocks
+(16 triple-product geometry rows + 2 bitcast id rows, accel/clusters.py)
+with pipelined DMA; each is tested with a dense (TS, C) Möller–Trumbore in
+triple-product form (same u/v/t as core/intersect.py::moller_trumbore up to
+fp32 rounding, ~30% fewer VPU ops) and a strict-min update.  The tile stops — *its own* early exit, unlike the
 lockstep XLA backend — as soon as every ray's best hit distance is <= the
 next cluster's conservative entry bound, the exact-correct analog of the
 reference's sorted-leaf early stop (MeshOctree.cs:281-306).
@@ -25,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 3.4028235e38
+NBUF = 4  # DMA pipeline depth (clusters in flight)
 
 
 def _intersect_kernel(
@@ -34,20 +36,19 @@ def _intersect_kernel(
     keys_ref,  # (1, MAXC) f32 conservative entry bounds
     # VMEM per-tile ray blocks (1, TS)
     ox, oy, oz, dx, dy, dz, tmax, itri, imesh,
-    # HBM cluster tables
-    geom_hbm,  # (NC, 12, C) f32
-    ids_hbm,  # (NC, 2, C) i32
+    # HBM cluster table
+    block_hbm,  # (NC, 24, C) f32
     # VMEM outputs (1, TS)
     out_t, out_u, out_v, out_tri, out_iters,
     # scratch
-    geom_buf,  # (2, 12, C) f32
-    ids_buf,  # (2, 2, C) i32
-    sem,  # DMA semaphores (2, 2)
+    buf,  # (NBUF, 24, C) f32
+    sem,  # DMA semaphores (NBUF,)
     *,
     cull: bool,
+    any_hit: bool,
 ):
     ts = ox.shape[2]
-    c = geom_buf.shape[2]
+    c = buf.shape[2]
     count = cnt_ref[0, 0, 0]
     maxc = cand_ref.shape[2]
 
@@ -56,61 +57,56 @@ def _intersect_kernel(
     oxc, oyc, ozc = col(ox), col(oy), col(oz)
     dxc, dyc, dzc = col(dx), col(dy), col(dz)
     itric, imeshc = col(itri), col(imesh)
+    # Per-ray w = d x o, hoisted out of the cluster loop (the triple-product
+    # factorization moves all per-pair cross products into bake time).
+    wxc = dyc * ozc - dzc * oyc
+    wyc = dzc * oxc - dxc * ozc
+    wzc = dxc * oyc - dyc * oxc
 
     def make_dma(slot, ci):
         k = cand_ref[0, 0, ci]
-        return (
-            pltpu.make_async_copy(geom_hbm.at[k], geom_buf.at[slot],
-                                  sem.at[slot, 0]),
-            pltpu.make_async_copy(ids_hbm.at[k], ids_buf.at[slot],
-                                  sem.at[slot, 1]),
-        )
+        return pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
+                                     sem.at[slot])
 
-    @pl.when(count > 0)
-    def _():
-        for dma in make_dma(0, 0):
-            dma.start()
+    # Prime the pipeline: up to NBUF clusters in flight.
+    for j in range(NBUF):
+        @pl.when(j < count)
+        def _():
+            make_dma(j, j).start()
 
     def body(state):
         ci, _settled, bt, bu, bv, btri = state
-        slot = jax.lax.rem(ci, 2)
-        nslot = jax.lax.rem(ci + 1, 2)
+        slot = jax.lax.rem(ci, NBUF)
 
-        @pl.when(ci + 1 < count)
-        def _():
-            for dma in make_dma(nslot, ci + 1):
-                dma.start()
+        make_dma(slot, ci).wait()
 
-        for dma in make_dma(slot, ci):
-            dma.wait()
-
-        g = geom_buf[slot]  # (12, C)
-        ids = ids_buf[slot]  # (2, C)
+        g = buf[slot]  # (24, C)
         row = lambda i: g[i:i + 1, :]  # (1, C)
-        v1x, v1y, v1z = row(0), row(1), row(2)
-        e1x, e1y, e1z = row(3), row(4), row(5)
-        e2x, e2y, e2z = row(6), row(7), row(8)
+        nx, ny, nz = row(0), row(1), row(2)
 
-        # Möller–Trumbore on (TS, C) — exactly core/intersect.py semantics
-        # (no determinant epsilon; inf/NaN fail the acceptance tests).
-        tx, ty, tz = oxc - v1x, oyc - v1y, ozc - v1z
-        px = dyc * e2z - dzc * e2y
-        py = dzc * e2x - dxc * e2z
-        pz = dxc * e2y - dyc * e2x
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        det = px * e1x + py * e1y + pz * e1z
+        # Möller–Trumbore in triple-product form (accel/clusters.py): the
+        # same u/v/t up to fp32 rounding, with every per-pair cross product
+        # folded into baked per-triangle vectors.  No determinant epsilon;
+        # inf/NaN fail the acceptance tests, like core/intersect.py.
+        det = dxc * nx + dyc * ny + dzc * nz
         inv = 1.0 / det
-        dd = (qx * e2x + qy * e2y + qz * e2z) * inv
-        uu = (px * tx + py * ty + pz * tz) * inv
-        vv = (qx * dxc + qy * dyc + qz * dzc) * inv
+        udet = (wxc * row(6) + wyc * row(7) + wzc * row(8)
+                + dxc * row(3) + dyc * row(4) + dzc * row(5))
+        vdet = (wxc * row(12) + wyc * row(13) + wzc * row(14)
+                + dxc * row(9) + dyc * row(10) + dzc * row(11))
+        tdet = row(15) - (oxc * nx + oyc * ny + ozc * nz)
+        uu = udet * inv
+        vv = vdet * inv
+        dd = tdet * inv
         ok = (uu >= 0.0) & (vv >= 0.0) & (dd >= 0.0) & (uu + vv <= 1.0)
         if cull:
-            snx, sny, snz = row(9), row(10), row(11)
-            ok &= (snx * dxc + sny * dyc + snz * dzc) <= 0.0
-        tid = ids[0:1, :]  # (1, C)
-        tmesh = ids[1:2, :]
+            # Backface test via the determinant: det = d·(e2 x e1) and the
+            # face normal is normalize(cross(e2, e1))
+            # (TracerModelProcessor.cs:199-203), so sign(det) ==
+            # sign(dot(snormal, d)) — no extra dot product needed.
+            ok &= det <= 0.0
+        tid = jax.lax.bitcast_convert_type(row(16), jnp.int32)  # (1, C)
+        tmesh = jax.lax.bitcast_convert_type(row(17), jnp.int32)
         ok &= (tid >= 0) & (tid != itric) & (tmesh != imeshc)
 
         dist = jnp.where(ok, dd, INF)
@@ -131,10 +127,25 @@ def _intersect_kernel(
         btri = jnp.where(upd, sel(jnp.broadcast_to(tid, dist.shape)), btri)
 
         nxt = ci + 1
-        next_entry = jnp.where(
-            nxt < count, keys_ref[0, 0, jnp.minimum(nxt, maxc - 1)], INF
-        )
-        settled = jnp.all(bt <= next_entry)
+
+        @pl.when(nxt + (NBUF - 1) < count)
+        def _():
+            make_dma(slot, nxt + (NBUF - 1)).start()
+
+        if any_hit:
+            # Occlusion query: stop as soon as every ray found *some* hit
+            # inside its bound (best < its initial tmax) or is provably
+            # clear (entry bound beyond its tmax).
+            next_entry = jnp.where(
+                nxt < count, keys_ref[0, 0, jnp.minimum(nxt, maxc - 1)], INF
+            )
+            resolved = (bt < col(tmax)) | (col(tmax) <= next_entry)
+            settled = jnp.all(resolved)
+        else:
+            next_entry = jnp.where(
+                nxt < count, keys_ref[0, 0, jnp.minimum(nxt, maxc - 1)], INF
+            )
+            settled = jnp.all(bt <= next_entry)
         return nxt, settled, bt, bu, bv, btri
 
     def cond(state):
@@ -147,12 +158,13 @@ def _intersect_kernel(
             jnp.full((ts, 1), -1, jnp.int32))
     ci_f, _, bt, bu, bv, btri = jax.lax.while_loop(cond, body, init)
 
-    # Drain: on early exit (settled) the prefetch for cluster ci_f is still
-    # in flight — every started DMA must be waited before the kernel ends.
-    @pl.when((ci_f < count) & (ci_f > 0))
-    def _():
-        for dma in make_dma(jax.lax.rem(ci_f, 2), ci_f):
-            dma.wait()
+    # Drain: on early exit (settled) prefetches for clusters ci_f..ci_f+NBUF-1
+    # can still be in flight — every started DMA must be waited before the
+    # kernel ends.
+    for j in range(NBUF):
+        @pl.when((ci_f + j < count) & (ci_f > 0))
+        def _():
+            make_dma(jax.lax.rem(ci_f + j, NBUF), ci_f + j).wait()
 
     out_t[0, 0, :] = bt[:, 0]
     out_u[0, 0, :] = bu[:, 0]
@@ -163,19 +175,20 @@ def _intersect_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cull", "interpret"),
+    static_argnames=("cull", "any_hit", "interpret"),
 )
-def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
-                    cull: bool = True, interpret: bool = False):
+def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, block,
+                    cull: bool = True, any_hit: bool = False,
+                    interpret: bool = False):
     """Run the fused kernel over (NT, TS) ray tiles.
 
     ``counts`` (NT,) i32; ``cand``/``keys`` (NT, MAXC); ``o``/``d`` (NT, TS, 3);
-    ``tmax`` (NT, TS) f32; ``itri``/``imesh`` (NT, TS) i32; ``geom``/``ids``
-    the packed cluster tables.  Returns (t, u, v, tri) each (NT, TS).
+    ``tmax`` (NT, TS) f32; ``itri``/``imesh`` (NT, TS) i32; ``block`` the
+    packed (NC, 24, C) cluster table.  Returns (t, u, v, tri, iters).
     """
     nt, ts = tmax.shape
     maxc = cand.shape[1]
-    csize = geom.shape[2]
+    csize = block.shape[2]
 
     # Per-tile operands are (NT, 1, X) with (1, 1, X) blocks so the last two
     # block dims equal the array dims (the Mosaic block-shape constraint).
@@ -188,7 +201,7 @@ def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
     f32 = jnp.float32
     i32 = jnp.int32
     outs = pl.pallas_call(
-        functools.partial(_intersect_kernel, cull=cull),
+        functools.partial(_intersect_kernel, cull=cull, any_hit=any_hit),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -196,7 +209,6 @@ def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
             smem_vec,
             smem_vec,
             *([ray_spec] * 9),
-            hbm,
             hbm,
         ],
         out_specs=[ray_spec] * 4 + [
@@ -211,9 +223,8 @@ def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
             jax.ShapeDtypeStruct((nt, 1, 1), i32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 12, csize), f32),
-            pltpu.VMEM((2, 2, csize), i32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, 24, csize), f32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
     )(
@@ -227,8 +238,7 @@ def intersect_tiles(counts, cand, keys, o, d, tmax, itri, imesh, geom, ids,
         tmax.reshape(nt, 1, ts),
         itri.reshape(nt, 1, ts).astype(i32),
         imesh.reshape(nt, 1, ts).astype(i32),
-        geom,
-        ids,
+        block,
     )
     return tuple(a.reshape(nt, ts) for a in outs[:4]) + (
         outs[4].reshape(nt),  # clusters tested per tile

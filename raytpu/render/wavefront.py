@@ -121,10 +121,16 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
     nanv = jnp.float32(jnp.nan)
     for i in range(scene.num_lights):
         sdir, sdist = lights_mod.light_shadow_query(lt, i, frag_pos)
+        contrib = lights_mod.light_contrib(lt, i, frag_pos, normal)
+        # Fragments the light cannot reach anyway (outside the spot cone,
+        # facing away — SpotLight.cs:45-52) contribute zero regardless of
+        # occlusion, so their shadow rays are skipped outright (dead-lane
+        # NaN direction).  Exact: 0 * (1 - shadow) == 0.
+        lit = valid & jnp.any(contrib != 0.0, axis=-1)
         shadow = nearest_hit(
             scene,
             frag_pos,
-            jnp.where(valid[..., None], sdir, nanv),
+            jnp.where(lit[..., None], sdir, nanv),
             ignore_tri=hit_tri,
             cull=True,
             intersector=cfg.intersector,
@@ -136,6 +142,10 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             # Bound the search at the light: occluders beyond it are
             # irrelevant and unoccluded rays stop scanning early.
             t_max=sdist,
+            # Opaque scenes only need the occlusion boolean, so the query
+            # may stop at the first qualifying hit.  Transparent scenes
+            # need the *nearest* occluder (its alpha attenuates the light).
+            any_hit=not scene.has_transparent,
         )
         if cfg.differentiable:
             # Shadow visibility is discrete: detach the query (also severs
@@ -150,7 +160,6 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
         light_amount = jnp.where(
             obstructed, jnp.where(occ_transparent, occ_alpha, 1.0), 0.0
         )
-        contrib = lights_mod.light_contrib(lt, i, frag_pos, normal)
         total = total + contrib * (1.0 - light_amount)[..., None]
     return total
 
