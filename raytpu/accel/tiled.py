@@ -37,57 +37,88 @@ from raytpu.core.math3d import dot
 INF = FLOAT_MAX
 
 
-def _axis_t_interval(s_lo, s_hi, d_lo, d_hi):
-    """Conservative interval of t >= 0 with t*d in [s_lo, s_hi] for some
-    d in [d_lo, d_hi].  Returns (t_lo, t_hi, feasible)."""
-    big = INF
-
-    def div(a, b, default):
-        return jnp.where(b != 0.0, a / jnp.where(b == 0.0, 1.0, b), default)
-
-    # Case A: interval strictly positive — need d > 0.
-    a_feas = d_hi > 0.0
-    a_lo = div(s_lo, d_hi, big)
-    a_hi = jnp.where(d_lo > 0.0, div(s_hi, d_lo, big), big)
-
-    # Case B: interval strictly negative — need d < 0.
-    b_feas = d_lo < 0.0
-    b_lo = div(s_hi, d_lo, big)
-    b_hi = jnp.where(d_hi < 0.0, div(s_lo, d_hi, big), big)
-
-    # Case C: 0 in [s_lo, s_hi] — t = 0 always feasible.
-    c_hi_pos = jnp.where(d_lo > 0.0, div(s_hi, d_lo, big), big)
-    c_hi_neg = jnp.where(d_hi < 0.0, div(s_lo, d_hi, big), big)
-    c_hi = jnp.minimum(c_hi_pos, c_hi_neg)
-
-    pos = s_lo > 0.0
-    neg = s_hi < 0.0
-    t_lo = jnp.where(pos, a_lo, jnp.where(neg, b_lo, 0.0))
-    t_hi = jnp.where(pos, a_hi, jnp.where(neg, b_hi, c_hi))
-    feas = jnp.where(pos, a_feas, jnp.where(neg, b_feas, True))
-    return t_lo, t_hi, feas
-
-
 def cull_clusters(o_min, o_max, d_min, d_max, cl_min, cl_max):
     """Conservative (tiles, clusters) may-hit test.
 
     ``o_min/o_max/d_min/d_max``: (NT, 3) tile bounds; ``cl_min/cl_max``:
     (NC, 3).  Returns (mask, entry_lower_bound) of shape (NT, NC).
+
+    Per axis the conservative interval of t >= 0 with t*d in [s_lo, s_hi]
+    for some d in [d_lo, d_hi] is computed division-free: the only divisions
+    are per-tile reciprocals of the direction bounds, hoisted out of the
+    (NT, NC) pair computation (the original per-pair ``div`` formulation
+    compiled pathologically and ran ~10x slower).
     """
+    big = INF
     t_lo = jnp.zeros(o_min.shape[:1] + cl_min.shape[:1], o_min.dtype)
-    t_hi = jnp.full_like(t_lo, INF)
-    feas = jnp.ones_like(t_lo, bool)
+    t_hi = jnp.full_like(t_lo, big)
     for k in range(3):
+        d_lo = d_min[:, None, k]
+        d_hi = d_max[:, None, k]
+        # Per-tile scalars (broadcast along clusters): reciprocals + sign
+        # flags.  The guarded where keeps 1/0 out even on dead lanes.
+        inv_hi = 1.0 / jnp.where(d_hi == 0.0, 1.0, d_hi)
+        inv_lo = 1.0 / jnp.where(d_lo == 0.0, 1.0, d_lo)
+        hi_pos = d_hi > 0.0
+        lo_pos = d_lo > 0.0
+        lo_neg = d_lo < 0.0
+        hi_neg = d_hi < 0.0
+
         s_lo = cl_min[None, :, k] - o_max[:, None, k]
         s_hi = cl_max[None, :, k] - o_min[:, None, k]
-        lo_k, hi_k, f_k = _axis_t_interval(
-            s_lo, s_hi, d_min[:, None, k], d_max[:, None, k]
+        pos = s_lo > 0.0  # cluster strictly ahead along +k
+        neg = s_hi < 0.0  # strictly behind (reachable only with d < 0)
+
+        # Entry bound (INF == infeasible: need d of the matching sign).
+        lo_k = jnp.where(
+            pos,
+            jnp.where(hi_pos, s_lo * inv_hi, big),
+            jnp.where(neg, jnp.where(lo_neg, s_hi * inv_lo, big), 0.0),
         )
+        # Exit bound: finite only when the whole d interval is one-signed.
+        hi_same = jnp.where(lo_pos, s_hi * inv_lo,
+                            jnp.where(hi_neg, s_lo * inv_hi, big))
+        hi_k = jnp.where(pos, jnp.where(lo_pos, s_hi * inv_lo, big),
+                         jnp.where(neg, jnp.where(hi_neg, s_lo * inv_hi, big),
+                                   hi_same))
         t_lo = jnp.maximum(t_lo, lo_k)
         t_hi = jnp.minimum(t_hi, hi_k)
-        feas &= f_k
-    mask = feas & (t_lo <= t_hi)
+    mask = (t_lo <= t_hi) & (t_lo < big)
     return mask, jnp.where(mask, t_lo, INF)
+
+
+def select_candidates(mask, entry, maxc: int):
+    """Exact front-to-back top-``maxc`` candidate clusters per tile.
+
+    Equivalent to ``top_k(-entry, maxc)`` (which compiles and runs
+    pathologically at NC ~ 10^4): compact the <= ``counts`` masked clusters
+    via cumsum + vectorized binary search, then sort only the compacted
+    (NT, maxc) block by entry bound.
+
+    Returns ``(keys, cand, counts_raw)``: ascending entry bounds (INF
+    padding), their cluster ids, and the *uncapped* per-tile candidate
+    count (callers cap with ``min(counts_raw, maxc)`` and use the overflow
+    tail when it exceeds ``maxc``).
+    """
+    nt, nc = entry.shape
+    counts_raw = jnp.sum(mask, axis=1)
+    cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    # compact[j] = index of the (j+1)-th masked cluster = first i with
+    # cum[i] == j+1 (cum is nondecreasing): branchless binary search.
+    target = jnp.arange(1, maxc + 1, dtype=jnp.int32)[None, :]
+    lo = jnp.zeros((nt, maxc), jnp.int32)
+    hi = jnp.full((nt, maxc), nc - 1, jnp.int32)
+    steps = max(1, (nc - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        go = jnp.take_along_axis(cum, mid, axis=1) < target
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    cand = jnp.minimum(lo, nc - 1).astype(jnp.int32)
+    valid = target <= counts_raw[:, None]
+    keys = jnp.where(valid, jnp.take_along_axis(entry, cand, axis=1), INF)
+    keys, cand = jax.lax.sort_key_val(keys, cand)
+    return keys, cand, counts_raw
 
 
 def _pad_to_tiles(a, tile, fill):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from raytpu.accel.tiled import (INF, lockstep_chunks, nearest_hit_tiled,
-                                prepare_tiles)
+                                prepare_tiles, select_candidates)
 from raytpu.accel.traverse import Hit
 from raytpu.kernels.intersect import intersect_tiles
 
@@ -51,9 +51,7 @@ def nearest_hit_pallas(scene, origin, direction, ignore_tri=None,
     nt, ts = o.shape[:2]
 
     # Front-to-back top-maxc candidates per tile (ascending entry bound).
-    neg, cand = jax.lax.top_k(-entry, maxc)
-    keys = -neg
-    counts_raw = jnp.sum(mask, axis=1)
+    keys, cand, counts_raw = select_candidates(mask, entry, maxc)
     counts = jnp.minimum(counts_raw, maxc)
 
     bt, bu, bv, btri, iters = intersect_tiles(
