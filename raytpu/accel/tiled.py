@@ -88,12 +88,16 @@ def cull_clusters(o_min, o_max, d_min, d_max, cl_min, cl_max):
 
 
 def select_candidates(mask, entry, maxc: int):
-    """Exact front-to-back top-``maxc`` candidate clusters per tile.
+    """Front-to-back candidate clusters per tile (first ``maxc`` by index).
 
-    Equivalent to ``top_k(-entry, maxc)`` (which compiles and runs
-    pathologically at NC ~ 10^4): compact the <= ``counts`` masked clusters
-    via cumsum + vectorized binary search, then sort only the compacted
-    (NT, maxc) block by entry bound.
+    Compacts the masked clusters via cumsum + vectorized binary search, then
+    sorts only the compacted (NT, maxc) block by entry bound.  Equivalent to
+    ``top_k(-entry, maxc)`` (which compiles and runs pathologically at
+    NC ~ 10^4) ONLY when ``counts_raw <= maxc``; on overflow the result is
+    the first ``maxc`` masked clusters *by cluster index*, which need not be
+    the nearest — overflowed tiles must therefore always take the exact
+    overflow tail (kernels/dispatch.py), regardless of how early the kernel
+    settled.
 
     Returns ``(keys, cand, counts_raw)``: ascending entry bounds (INF
     padding), their cluster ids, and the *uncapped* per-tile candidate

@@ -1,11 +1,15 @@
 """Pallas-backed nearest-hit: XLA cull + fused kernel + exact-overflow guard.
 
 The front half (tile bounds + conservative cluster cull) is shared with the
-XLA tiled backend (accel/tiled.py::prepare_tiles); ``jax.lax.top_k`` selects
-each tile's ``maxc`` nearest candidate clusters; the fused kernel
-(kernels/intersect.py) walks them front-to-back.  If any tile has more than
-``maxc`` candidates (overflow), results fall back to the exact lockstep XLA
-backend via ``lax.cond`` so correctness never depends on the cap.
+XLA tiled backend (accel/tiled.py::prepare_tiles); ``select_candidates``
+compacts each tile's first ``maxc`` masked clusters *by cluster index* and
+sorts that subset by entry bound — equal to the ``maxc`` nearest only when
+the tile has at most ``maxc`` candidates.  The fused kernel
+(kernels/intersect.py) walks the subset front-to-back.  Any tile with more
+than ``maxc`` candidates (overflow) therefore ALWAYS continues in the exact
+lockstep XLA tail via ``lax.cond`` — an index-excluded cluster can lie
+nearer than everything the kernel saw, so an early kernel settle proves
+nothing for overflowed tiles — and correctness never depends on the cap.
 """
 
 from __future__ import annotations
@@ -60,13 +64,17 @@ def nearest_hit_pallas(scene, origin, direction, ignore_tri=None,
     )
 
     if maxc < nc:
-        # Overflow tail: tiles with more than maxc candidates that did not
-        # settle inside the kernel continue in the exact lockstep scan,
-        # seeded with the kernel's best state.  It restarts at chunk 0 (the
-        # already-tested clusters re-test as no-ops under strict-min and the
-        # settle check skips past them immediately), so correctness never
-        # depends on top_k/sort agreeing about ties at the maxc boundary.
-        pending = (counts_raw > maxc) & (iters >= maxc)
+        # Overflow tail: every tile with more than maxc candidates continues
+        # in the exact lockstep scan, seeded with the kernel's best state.
+        # select_candidates keeps the first maxc candidates BY CLUSTER INDEX
+        # (not the maxc nearest), so an excluded cluster can have a smaller
+        # entry bound than anything the kernel tested — an early kernel
+        # settle (iters < maxc) proves nothing for an overflowed tile.  The
+        # tail restarts at chunk 0 (already-tested clusters re-test as
+        # no-ops under strict-min and the settle check skips past them
+        # immediately), so correctness never depends on which subset the
+        # kernel saw.
+        pending = counts_raw > maxc
 
         def tail(args):
             bt, bu, bv, btri = args

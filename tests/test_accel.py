@@ -173,3 +173,97 @@ class TestTiledVsBrute:
         o = o.at[:, 1].add(5.0)
         ht = nearest_hit_tiled(flat, o, d, tile_size=8)
         assert not bool(ht.hit[2]) and not bool(ht.hit[5])
+
+
+def _z_quad_stack_scene(n_quads: int):
+    """``n_quads`` unit quads facing +z at z = 0..n-1, one cluster each.
+
+    Morton codes of centroids that differ only in z are monotone in z, so
+    cluster index == quad index (cluster_size=2 == triangles per quad).
+    """
+    from raytpu.scene.types import Material, Scene, SceneObject
+    from raytpu.scene.types import Mesh
+
+    tris = []
+    for i in range(n_quads):
+        z = float(i)
+        # Winding chosen so snormal = normalize(cross(e2, e1)) = +z: a ray
+        # travelling -z passes the backface cull (dot(n, d) <= 0).
+        tris.append([[-1, -1, z], [-1, 1, z], [1, -1, z]])
+        tris.append([[1, 1, z], [1, -1, z], [-1, 1, z]])
+    mesh = Mesh(vertices=np.asarray(tris, np.float32),
+                material=Material(reflectiveness=0.0))
+    return Scene(objects=[SceneObject(meshes=[mesh])])
+
+
+class TestPallasDispatcher:
+    """Fused Pallas kernel (interpret mode on CPU) vs brute force."""
+
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=16
+        )
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    @pytest.mark.parametrize("cull", [True, False])
+    def test_match_brute(self, flat, rng, cull):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.dispatch import nearest_hit_pallas
+
+        o, d = self._rays(rng, 128)
+        hb = nearest_hit_brute(flat, o, d, cull=cull, block=128)
+        hp = nearest_hit_pallas(flat, o, d, cull=cull, tile_size=32,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
+        m = np.asarray(hb.hit)
+        # The kernel's triple-product Möller–Trumbore matches the classic
+        # form only up to fp32 rounding (kernels/intersect.py docstring).
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hp.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m],
+                                      np.asarray(hp.tri)[m])
+
+    def test_overflow_excluded_nearest_cluster(self):
+        """Regression (ADVICE r1): > maxc candidates where the NEAREST
+        cluster has the highest Morton index.
+
+        select_candidates keeps the first ``maxc`` candidates by cluster
+        index, so the nearest (z=5) quad is excluded; the kernel finds z=3
+        and settles after one iteration (iters < maxc).  The overflow tail
+        must still run — gating it on ``iters >= maxc`` returned z=3 here.
+        """
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.dispatch import nearest_hit_pallas
+
+        flat = _z_quad_stack_scene(6).flatten(
+            build_octree=False, cluster_size=2
+        )
+        assert flat.clusters["cluster_min"].shape[0] == 6
+        # Ray straight down -z from beyond the far quad: hits z=5 first.
+        o = jnp.asarray(np.tile([[0.2, 0.1, 10.0]], (8, 1)), jnp.float32)
+        d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (8, 1)), jnp.float32)
+        hp = nearest_hit_pallas(flat, o, d, tile_size=8, maxc=4,
+                                interpret=True)
+        hb = nearest_hit_brute(flat, o, d, block=16)
+        assert np.asarray(hp.hit).all()
+        np.testing.assert_allclose(np.asarray(hp.t), 5.0, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+
+    def test_any_hit_occlusion_with_tmax(self, flat, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.dispatch import nearest_hit_pallas
+
+        o, d = self._rays(rng, 64)
+        t_max = jnp.full((64,), 18.0, jnp.float32)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hp = nearest_hit_pallas(flat, o, d, tile_size=32, t_max=t_max,
+                                any_hit=True, interpret=True)
+        occluded_ref = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
+        np.testing.assert_array_equal(np.asarray(hp.hit), occluded_ref)
