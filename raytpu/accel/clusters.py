@@ -126,9 +126,31 @@ class ClusterTable:
         block[17] = mesh.reshape(nc, c).view(np.float32)
         block = np.ascontiguousarray(block.transpose(1, 0, 2))
 
+        # Fused-kernel cull tables (kernels/fused.py): cluster AABB planes
+        # laid out (6, 8, NC8) with cluster j at (j // NC8, j % NC8) — 8
+        # sublanes x 128-multiple lanes so the in-kernel entry grid is a
+        # dense VPU shape.  Padding columns get +BIG bounds; the kernel
+        # additionally masks them by flat index >= NC.
+        big = np.float32(3.4028235e38)
+        nc8 = max(128, ((-(-nc // 8) + 127) // 128) * 128)
+        aabb = np.full((6, 8 * nc8), big, np.float32)
+        aabb[0:3, :nc] = self.cluster_min.T
+        aabb[3:6, :nc] = self.cluster_max.T
+        aabb = aabb.reshape(6, 8, nc8)
+        root_min = self.cluster_min.min(axis=0)
+        root_max = self.cluster_max.max(axis=0)
+        diag = np.float32(np.max(root_max - root_min))
+        margin = np.float32(1e-3) * diag + np.float32(1e-4)
+        root = np.zeros((1, 8), np.float32)
+        root[0, 0:3] = root_min
+        root[0, 3:6] = root_max
+        root[0, 6] = margin
+
         return {
             "cluster_min": jnp.asarray(self.cluster_min),
             "cluster_max": jnp.asarray(self.cluster_max),
+            "aabb": jnp.asarray(aabb),
+            "root": jnp.asarray(root),
             "root_min": jnp.asarray(self.cluster_min.min(axis=0)),
             "root_max": jnp.asarray(self.cluster_max.max(axis=0)),
             "tri_id": jnp.asarray(tri_id),

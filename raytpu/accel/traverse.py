@@ -294,11 +294,10 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
             any_hit=any_hit,
         )
     if mode == Intersector.PALLAS:
-        from raytpu.kernels.dispatch import nearest_hit_pallas
+        from raytpu.kernels.fused import nearest_hit_fused
 
-        return nearest_hit_pallas(
+        return nearest_hit_fused(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
-            tile_size=cull_tile, chunk=cull_chunk, maxc=cull_maxc,
-            t_max=t_max, any_hit=any_hit,
+            tile_size=cull_tile, t_max=t_max, any_hit=any_hit,
         )
     raise ValueError(mode)

@@ -42,9 +42,15 @@ def load_obj(path: str, material: Optional[Material] = None,
                     ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
                     idx.append((vi, ti, ni))
                 for k in range(1, len(idx) - 1):  # triangle fan
-                    face_v.append((idx[0][0], idx[k][0], idx[k + 1][0]))
-                    face_vt.append((idx[0][1], idx[k][1], idx[k + 1][1]))
-                    face_vn.append((idx[0][2], idx[k][2], idx[k + 1][2]))
+                    # OBJ faces are CCW-front (outward normal =
+                    # cross(e1, e2)); the framework's face-normal
+                    # convention is the reference's ``cross(e2, e1)``
+                    # (TracerModelProcessor.cs:199-203, with XNA's
+                    # CW-front triangle order), so flip the winding to
+                    # keep snormal outward and backface culling correct.
+                    face_v.append((idx[0][0], idx[k + 1][0], idx[k][0]))
+                    face_vt.append((idx[0][1], idx[k + 1][1], idx[k][1]))
+                    face_vn.append((idx[0][2], idx[k + 1][2], idx[k][2]))
 
     pos = np.asarray(positions, np.float32)
     uv = np.asarray(uvs, np.float32) if uvs else None

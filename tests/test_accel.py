@@ -267,3 +267,88 @@ class TestPallasDispatcher:
                                 any_hit=True, interpret=True)
         occluded_ref = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
         np.testing.assert_array_equal(np.asarray(hp.hit), occluded_ref)
+
+
+class TestFusedKernel:
+    """Fully-fused Pallas kernel (kernels/fused.py, interpret mode) vs brute.
+
+    The fused kernel does cull + front-to-back argmin walk + intersection all
+    in VMEM with no candidate cap, so there is no overflow case to test —
+    exactness must hold for every tile composition.
+    """
+
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=16
+        )
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    @pytest.mark.parametrize("cull", [True, False])
+    def test_match_brute(self, flat, rng, cull):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 128)
+        hb = nearest_hit_brute(flat, o, d, cull=cull, block=128)
+        hf = nearest_hit_fused(flat, o, d, cull=cull, tile_size=32,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hf.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hf.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m],
+                                      np.asarray(hf.tri)[m])
+
+    def test_front_to_back_early_settle_exact(self):
+        """Quad stack: nearest cluster has the HIGHEST Morton index; the
+        argmin walk must pick it first and settle in one iteration with the
+        exact nearest hit (no index-order bias)."""
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        flat = _z_quad_stack_scene(6).flatten(
+            build_octree=False, cluster_size=2
+        )
+        o = jnp.asarray(np.tile([[0.2, 0.1, 10.0]], (8, 1)), jnp.float32)
+        d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (8, 1)), jnp.float32)
+        hf = nearest_hit_fused(flat, o, d, tile_size=8, interpret=True)
+        hb = nearest_hit_brute(flat, o, d, block=16)
+        assert np.asarray(hf.hit).all()
+        np.testing.assert_allclose(np.asarray(hf.t), 5.0, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(hf.tri), np.asarray(hb.tri))
+
+    def test_any_hit_occlusion_with_tmax(self, flat, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 64)
+        t_max = jnp.full((64,), 18.0, jnp.float32)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hf = nearest_hit_fused(flat, o, d, tile_size=32, t_max=t_max,
+                               any_hit=True, interpret=True)
+        occluded_ref = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
+        np.testing.assert_array_equal(np.asarray(hf.hit), occluded_ref)
+
+    def test_ignore_tri_and_nonfinite_rays(self, flat, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 32)
+        o = o.at[3, 0].set(jnp.nan)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        itri = jnp.where(jnp.arange(32) % 2 == 0, hb.tri, -1).astype(jnp.int32)
+        hb2 = nearest_hit_brute(flat, o, d, ignore_tri=itri, block=128)
+        hf = nearest_hit_fused(flat, o, d, ignore_tri=itri, tile_size=32,
+                               interpret=True)
+        assert not bool(hf.hit[3])
+        np.testing.assert_array_equal(np.asarray(hb2.hit), np.asarray(hf.hit))
+        m = np.asarray(hb2.hit)
+        np.testing.assert_array_equal(np.asarray(hb2.tri)[m],
+                                      np.asarray(hf.tri)[m])

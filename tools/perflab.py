@@ -126,6 +126,22 @@ def main():
         print(f"full: hit_frac={h.mean():.3f} "
               f"rays/s={r / best / 1e6:.1f}M (primary only)")
 
+    if "fused" in phases:
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        fused_fn = jax.jit(lambda s, o_, d_: nearest_hit_fused(
+            s, o_, d_, tile_size=ts))
+        hit, best = timed(fused_fn, (flat, origin, direction), args.reps,
+                          "fused")
+        h = np.asarray(hit.hit)
+        print(f"fused: hit_frac={h.mean():.3f} "
+              f"rays/s={r / best / 1e6:.1f}M (primary only)")
+        shadow_fn = jax.jit(lambda s, o_, d_: nearest_hit_fused(
+            s, o_, d_, tile_size=ts, any_hit=True,
+            t_max=jnp.full((o_.shape[0],), 30.0, jnp.float32)))
+        hit, best = timed(shadow_fn, (flat, origin, direction), args.reps,
+                          "fused-ah")
+
 
 if __name__ == "__main__":
     main()
