@@ -1,0 +1,318 @@
+"""raytpu CLI — render / animate / fit.
+
+The reference's interactive shell (Game1.cs:20-431) drives the tracer with a
+keyboard: Enter renders a frame, a commented-out driver renders a turntable
+animation to per-frame PNGs and stitches them into an AVI
+(Game1.cs:143-210), and material/scene parameters are code + content-build
+settings.  This CLI is the batch equivalent:
+
+    python -m raytpu render  --scene demo --out out.png
+    python -m raytpu animate --scene demo --frames 60 --out turn.avi
+    python -m raytpu fit     --scene crate --steps 200 --out fit/
+
+Scenes are either builtin procedural names (``demo`` — the reference's
+four-sphere scene, Game1.cs:98-109 — ``crate``, ``spheres``) or a path to an
+.obj / .fbx file (ingested like TracerModelProcessor did at build time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+
+def _build_scene(name: str, reflect: float, transparent: bool):
+    from raytpu.scene.lights import SpotLight
+    from raytpu.scene.procedural import box, plane, uv_sphere
+    from raytpu.scene.types import Material, Scene, SceneObject
+
+    checker = _checker_texture()
+    ground_mat = Material(use_texture=True, texture=checker,
+                          reflectiveness=0.0)
+    light = SpotLight(position=(0.0, 5.0, 20.0),
+                      direction=(0.0, -0.2425356, -0.9701425),
+                      spot_angle=math.pi / 2)
+
+    if name == "demo":
+        # The reference's demo: 2x2 sphere grid over a ground plane with one
+        # spotlight (Game1.cs:98-138).
+        mat = Material(reflectiveness=reflect, transparent=transparent,
+                       refraction_index=1.32,
+                       diffuse_color=(0.8, 0.2, 0.2, 0.6 if transparent else 1.0))
+        objs = [
+            SceneObject(meshes=[uv_sphere(radius=2.0, material=mat,
+                                          convex=True)],
+                        position=(x, 2.0, z))
+            for x in (-4.0, 4.0) for z in (-4.0, 4.0)
+        ]
+        objs.append(SceneObject(meshes=[plane(size=(40.0, 40.0),
+                                              material=ground_mat)]))
+        return Scene(objects=objs, lights=[light])
+    if name == "spheres":
+        mat = Material(reflectiveness=reflect,
+                       diffuse_color=(0.8, 0.2, 0.2, 1.0))
+        return Scene(
+            objects=[
+                SceneObject(meshes=[uv_sphere(radius=4.0, material=mat,
+                                              convex=True)],
+                            position=(0.0, 4.0, 0.0)),
+                SceneObject(meshes=[plane(size=(40.0, 40.0),
+                                          material=ground_mat)]),
+            ],
+            lights=[light],
+        )
+    if name == "crate":
+        mat = Material(use_texture=True, texture=checker,
+                       reflectiveness=reflect)
+        return Scene(
+            objects=[
+                SceneObject(meshes=[box(size=(6.0, 6.0, 6.0), material=mat)],
+                            position=(0.0, 3.0, 0.0)),
+                SceneObject(meshes=[plane(size=(40.0, 40.0),
+                                          material=ground_mat)]),
+            ],
+            lights=[light],
+        )
+    raise SystemExit(f"unknown builtin scene {name!r}")
+
+
+def _checker_texture(n: int = 8, size: int = 256) -> np.ndarray:
+    """checkers.bmp stand-in (the reference ships one in its content)."""
+    y, x = np.mgrid[0:size, 0:size]
+    cells = ((x * n // size) + (y * n // size)) % 2
+    img = np.where(cells[..., None] > 0, 220.0, 40.0)
+    return np.repeat(img, 3, axis=-1).reshape(size, size, 3).astype(np.float32)
+
+
+def _load_scene(args):
+    from raytpu.scene.lights import SpotLight
+    from raytpu.scene.types import Material, Scene, SceneObject
+
+    path = args.scene
+    if os.path.exists(path):
+        mat = Material(reflectiveness=args.reflect,
+                       diffuse_color=(0.8, 0.7, 0.6, 1.0))
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            from raytpu.scene.obj_loader import load_obj
+
+            meshes = [load_obj(path, material=mat)]
+        elif ext == ".fbx":
+            from raytpu.scene.fbx_loader import load_fbx
+
+            meshes = load_fbx(path, material=mat)
+        else:
+            raise SystemExit(f"unsupported scene file {path!r}")
+        s = args.obj_scale
+        obj = SceneObject(meshes=meshes, scale=(s, s, s))
+        light = SpotLight(position=(0.0, 5.0, 20.0),
+                          direction=(0.0, -0.2425356, -0.9701425),
+                          spot_angle=math.pi / 2)
+        return Scene(objects=[obj], lights=[light])
+    return _build_scene(path, args.reflect, args.transparent)
+
+
+def _camera(args, aspect: float):
+    from raytpu.core.camera import Camera
+
+    return Camera(position=tuple(args.camera), target=tuple(args.target),
+                  fov=args.fov, aspect=aspect)
+
+
+def _config(args):
+    from raytpu.config import Intersector, RenderConfig
+
+    return RenderConfig(
+        width=args.width,
+        height=args.height,
+        max_reflections=args.max_reflections,
+        use_multisampling=args.multisample > 0,
+        multisample_quality=max(args.multisample, 1),
+        intersector={
+            "auto": Intersector.AUTO,
+            "octree": Intersector.OCTREE,
+            "brute": Intersector.BRUTE,
+            "tiled": Intersector.TILED,
+            "pallas": Intersector.PALLAS,
+        }[args.intersector],
+    )
+
+
+def _flatten(scene, args):
+    need_clusters = args.intersector in ("auto", "tiled", "pallas")
+    return scene.flatten(
+        build_octree=args.intersector in ("auto", "octree"),
+        build_clusters=need_clusters,
+    )
+
+
+def cmd_render(args) -> int:
+    from raytpu.io.image import write_image
+    from raytpu.render import render_image
+
+    scene = _load_scene(args)
+    flat = _flatten(scene, args)
+    cfg = _config(args)
+    cam = _camera(args, args.width / args.height)
+    img = render_image(flat, cfg, cam)
+    write_image(args.out, img)
+    print(f"wrote {args.out} ({args.width}x{args.height}, "
+          f"mean {float(np.asarray(img).mean()):.4f})")
+    return 0
+
+
+def cmd_animate(args) -> int:
+    """Turntable render -> per-frame PNGs -> AVI (Game1.cs:143-210)."""
+    from raytpu.io.avi import open_avi
+    from raytpu.io.image import write_image
+    from raytpu.render import render_image
+
+    scene = _load_scene(args)
+    flat = _flatten(scene, args)
+    cfg = _config(args)
+
+    frame_dir = args.frame_dir or os.path.splitext(args.out)[0] + "_frames"
+    os.makedirs(frame_dir, exist_ok=True)
+
+    cx, cy, cz = args.camera
+    radius = math.hypot(cx, cz)
+    base = math.atan2(cx, cz)
+    with open_avi(args.out, args.width, args.height, fps=args.fps,
+                  codec=args.codec) as w:
+        for i in range(args.frames):
+            # Orbit the camera through 2*pi like the reference advanced the
+            # object rotation per completed frame (Game1.cs:163-190).
+            ang = base + 2.0 * math.pi * i / args.frames
+            from raytpu.core.camera import Camera
+
+            cam = Camera(
+                position=(radius * math.sin(ang), cy, radius * math.cos(ang)),
+                target=tuple(args.target), fov=args.fov,
+                aspect=args.width / args.height,
+            )
+            img = np.asarray(render_image(flat, cfg, cam))
+            frame = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            if frame_dir:
+                write_image(os.path.join(frame_dir, f"frame_{i:04d}.png"), img)
+            w.add_frame(frame)
+            print(f"frame {i + 1}/{args.frames}", flush=True)
+    print(f"wrote {args.out} ({args.frames} frames @ {args.fps} fps)")
+    return 0
+
+
+def cmd_fit(args) -> int:
+    """Inverse rendering: recover geometry/texture from a target image."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.diff.fit import fit
+    from raytpu.diff.params import GEOMETRY, TEXTURE
+    from raytpu.io.image import read_image, write_image
+    from raytpu.render import render_image
+
+    scene = _load_scene(args)
+    flat = _flatten(scene, args)
+    cfg = _config(args)
+    cam = _camera(args, args.width / args.height)
+
+    fields = ()
+    if "geometry" in args.optimize:
+        fields += GEOMETRY
+    if "texture" in args.optimize:
+        fields += TEXTURE
+
+    if args.target_image:
+        target = jnp.asarray(read_image(args.target_image),
+                             jnp.float32) / 255.0
+    else:
+        # Self-target demo: the unperturbed render is the target; the fit
+        # starts from a perturbed copy of the trainable fields and must
+        # recover it (BASELINE config 4's shape).
+        target = render_image(flat, cfg, cam)
+        key = jax.random.PRNGKey(0)
+        perturb = {}
+        for f in fields:
+            a = getattr(flat, f)
+            key, sub = jax.random.split(key)
+            perturb[f] = a + 0.02 * jax.random.normal(sub, a.shape, a.dtype)
+        flat = flat.replace(**perturb)
+
+    os.makedirs(args.out, exist_ok=True)
+    fitted, _params, losses = fit(
+        flat, cfg, cam, target, fields=fields, steps=args.steps,
+        learning_rate=args.lr, checkpoint_dir=args.out,
+        checkpoint_every=max(args.steps // 4, 1),
+    )
+    final = render_image(fitted, cfg, cam)
+    write_image(os.path.join(args.out, "final.png"), final)
+    write_image(os.path.join(args.out, "target.png"), target)
+    print(f"fit done: loss {losses[0]:.6f} -> {losses[-1]:.6f} "
+          f"({len(losses)} steps); outputs in {args.out}/")
+    return 0
+
+
+def _add_common(p):
+    p.add_argument("--scene", default="demo",
+                   help="builtin name (demo|spheres|crate) or .obj/.fbx path")
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--max-reflections", type=int, default=8,
+                   help="reference default 8 (Game1.cs:126)")
+    p.add_argument("--multisample", type=int, default=0,
+                   help="adaptive supersampling quality (0 = off)")
+    p.add_argument("--intersector", default="auto",
+                   choices=("auto", "octree", "brute", "tiled", "pallas"))
+    p.add_argument("--camera", type=float, nargs=3,
+                   default=(0.0, 16.0, 32.0),
+                   help="reference default (Game1.cs:111)")
+    p.add_argument("--look-at", dest="target", type=float, nargs=3,
+                   default=(0.0, 0.0, 0.0))
+    p.add_argument("--fov", type=float, default=math.pi / 4)
+    p.add_argument("--reflect", type=float, default=0.5)
+    p.add_argument("--transparent", action="store_true")
+    p.add_argument("--obj-scale", type=float, default=1.0)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="raytpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render one frame to PNG")
+    _add_common(pr)
+
+    pa = sub.add_parser("animate", help="turntable animation -> AVI")
+    _add_common(pa)
+    pa.add_argument("--frames", type=int, default=60)
+    pa.add_argument("--fps", type=float, default=30.0,
+                    help="reference default (Game1.cs:194)")
+    pa.add_argument("--codec", default="MJPG", choices=("MJPG", "DIB "))
+    pa.add_argument("--frame-dir", default=None)
+    pa.set_defaults(out="turntable.avi")
+
+    pf = sub.add_parser("fit", help="inverse-rendering optimization")
+    _add_common(pf)
+    pf.add_argument("--steps", type=int, default=100)
+    pf.add_argument("--lr", type=float, default=1e-2)
+    pf.add_argument("--optimize", default="geometry,texture",
+                    help="comma list: geometry,texture")
+    pf.set_defaults(out="fit_out")
+    pf.add_argument("--target-image", default=None,
+                    help="target PNG (default: self-target recovery demo)")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "animate":
+        return cmd_animate(args)
+    if args.cmd == "fit":
+        return cmd_fit(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

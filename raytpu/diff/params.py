@@ -45,4 +45,32 @@ def apply_params(scene: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
     if any(f in params for f in GEOMETRY):
         snorm = normalize(cross(scene.tri_e2, scene.tri_e1))
         scene = scene.replace(tri_snormal=snorm)
+    if scene.tri_shade is not None:
+        # Rebuild the packed shading row IN-GRAPH so shading reads the
+        # trained values and gradients flow through tri_shade back into the
+        # parameter fields (wavefront._gather_tri reads tri_shade only).
+        scene = scene.replace(tri_shade=pack_shade(scene))
     return scene
+
+
+def pack_shade(scene: FlatScene) -> jnp.ndarray:
+    """(N, 32) packed shading row from the individual FlatScene fields.
+
+    jnp (differentiable) twin of the NumPy bake in scene/flatten.py — keep
+    the column layout in sync with FlatScene.tri_shade's docstring.
+    """
+    import jax
+
+    mesh_bits = jax.lax.bitcast_convert_type(
+        scene.tri_mesh.astype(jnp.int32), jnp.float32
+    )
+    return jnp.concatenate(
+        [
+            scene.tri_v1, scene.tri_e1, scene.tri_e2,
+            scene.tri_n1, scene.tri_n2, scene.tri_n3,
+            scene.tri_uv1, scene.tri_uv2, scene.tri_uv3,
+            scene.tri_snormal, scene.tri_color,
+            mesh_bits[:, None],
+        ],
+        axis=-1,
+    )

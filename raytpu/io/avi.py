@@ -159,6 +159,136 @@ class AviWriter:
             self.close()
 
 
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Load (building on demand) native/libavimux.so, or None.
+
+    The C++ muxer is the streaming replacement for the avifil32.dll
+    interop (native/avimux.cc); this Python module stays the always-
+    available fallback and the semantic reference.
+    """
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    root = os.path.abspath(root)
+    so = os.path.join(root, "libavimux.so")
+    src = os.path.join(root, "avimux.cc")
+    if not os.path.exists(so) and os.path.exists(src):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-Wall", "-fPIC", "-shared", src, "-o", so],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.avimux_open.restype = ctypes.c_void_p
+    lib.avimux_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_double, ctypes.c_int]
+    lib.avimux_add_frame_rgb.restype = ctypes.c_int
+    lib.avimux_add_frame_rgb.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.avimux_add_frame_jpeg.restype = ctypes.c_int
+    lib.avimux_add_frame_jpeg.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                          ctypes.c_uint32]
+    lib.avimux_close.restype = ctypes.c_int
+    lib.avimux_close.argtypes = [ctypes.c_void_p]
+    lib.avimux_abort.restype = None
+    lib.avimux_abort.argtypes = [ctypes.c_void_p]
+    _NATIVE_LIB = lib
+    return lib
+
+
+class NativeAviWriter:
+    """Streaming AVI writer backed by native/libavimux.so.
+
+    Same interface as :class:`AviWriter` but constant-memory: frames go
+    straight to disk (the C++ side converts RGB to the container's
+    bottom-up BGR for "DIB "; "MJPG" frames are JPEG-encoded here and
+    passed through).  Frame size is fixed at construction.
+    """
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 30.0,
+                 codec: str = "MJPG", quality: int = 90):
+        if codec not in ("MJPG", "DIB "):
+            raise ValueError(f"unsupported codec {codec!r}")
+        lib = _native_lib()
+        if lib is None:
+            raise RuntimeError("libavimux.so unavailable (g++ missing?)")
+        self._lib = lib
+        self.codec = codec
+        self.quality = quality
+        self._wh = (width, height)
+        self._h = lib.avimux_open(path.encode(), width, height,
+                                  float(fps), 0 if codec == "DIB " else 1)
+        if not self._h:
+            raise OSError(f"avimux_open failed for {path!r}")
+
+    def add_frame(self, frame) -> None:
+        arr = np.asarray(frame)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if arr.shape[:2][::-1] != self._wh or arr.shape[2] != 3:
+            raise ValueError(f"expected {self._wh[::-1] + (3,)}, got {arr.shape}")
+        if self.codec == "DIB ":
+            rc = self._lib.avimux_add_frame_rgb(
+                self._h, np.ascontiguousarray(arr).tobytes()
+            )
+        else:
+            from PIL import Image
+
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG", quality=self.quality)
+            data = buf.getvalue()
+            rc = self._lib.avimux_add_frame_jpeg(self._h, data, len(data))
+        if rc != 0:
+            raise OSError(f"avimux add_frame failed ({rc})")
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.avimux_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise OSError(f"avimux_close failed ({rc})")
+
+    def abort(self) -> None:
+        if self._h:
+            self._lib.avimux_abort(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.close()
+        else:
+            self.abort()
+
+
+def open_avi(path: str, width: int, height: int, fps: float = 30.0,
+             codec: str = "MJPG", quality: int = 90):
+    """Best AVI writer available: native streaming muxer, else pure Python."""
+    try:
+        return NativeAviWriter(path, width, height, fps=fps, codec=codec,
+                               quality=quality)
+    except (RuntimeError, OSError):
+        return AviWriter(path, fps=fps, codec=codec, quality=quality)
+
+
 def compile_video(frame_paths, out_path: str, fps: float = 30.0,
                   codec: str = "MJPG") -> None:
     """Stitch image files into an AVI (Game1.compileVideo, Game1.cs:192-210)."""

@@ -66,6 +66,25 @@ class RaySet(NamedTuple):
 
 
 def _gather_tri(scene: FlatScene, tri):
+    if scene.tri_shade is not None:
+        # One packed (32,)-float row per ray (FlatScene.tri_shade) instead
+        # of twelve separate gathers — gathers dominate the XLA-side cost
+        # of shading at 1M rays on TPU.
+        s = scene.tri_shade[tri]
+        return {
+            "v1": s[..., 0:3],
+            "e1": s[..., 3:6],
+            "e2": s[..., 6:9],
+            "n1": s[..., 9:12],
+            "n2": s[..., 12:15],
+            "n3": s[..., 15:18],
+            "uv1": s[..., 18:20],
+            "uv2": s[..., 20:22],
+            "uv3": s[..., 22:24],
+            "snormal": s[..., 24:27],
+            "color": s[..., 27:31],
+            "mesh": jax.lax.bitcast_convert_type(s[..., 31], jnp.int32),
+        }
     g = lambda arr: arr[tri]
     return {
         "v1": g(scene.tri_v1),

@@ -147,6 +147,26 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
 
     lights = lights_mod.pack_lights(scene.lights, max_lights=max_lights)
 
+    # Packed shading row (see FlatScene.tri_shade): one (32,)-float gather
+    # per shaded ray replaces twelve separate gathers in the hot path.
+    npad = pad_to
+    shade = np.zeros((npad, 32), np.float32)
+    nrows = num_tris
+    shade[:nrows, 0:3] = v[:, 0]
+    shade[:nrows, 3:6] = e1
+    shade[:nrows, 6:9] = e2
+    shade[:nrows, 9:12] = n[:, 0]
+    shade[:nrows, 12:15] = n[:, 1]
+    shade[:nrows, 15:18] = n[:, 2]
+    shade[:nrows, 18:20] = uv[:, 0]
+    shade[:nrows, 20:22] = uv[:, 1]
+    shade[:nrows, 22:24] = uv[:, 2]
+    shade[:nrows, 24:27] = snormal
+    shade[:nrows, 27:31] = color
+    shade[:, 31] = np.concatenate(
+        [mesh_idx, np.full(npad - nrows, -1, np.int32)]
+    ).view(np.float32)
+
     def dev(x):
         return jnp.asarray(x)
 
@@ -189,6 +209,7 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
             if clusters is not None
             else None
         ),
+        tri_shade=dev(shade),
         num_tris=num_tris,
         num_meshes=mesh_id,
         num_lights=len(scene.lights),

@@ -186,6 +186,12 @@ class FlatScene(flax.struct.PyTreeNode):
     # TPU-native fast path (accel/tiled.py).
     clusters: Any = None
 
+    # Packed per-triangle shading row (N, 32) f32 — one gather per shaded
+    # ray instead of twelve (wavefront._gather_tri).  Layout: v1 e1 e2 n1
+    # n2 n3 (3 each), uv1 uv2 uv3 (2 each), snormal (3), color (4), mesh id
+    # (1, int32 bits).  None when built without pack_shade.
+    tri_shade: Any = None
+
     # --- static metadata (not traced) ---
     num_tris: int = flax.struct.field(pytree_node=False, default=0)
     num_meshes: int = flax.struct.field(pytree_node=False, default=0)
