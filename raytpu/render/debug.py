@@ -1,0 +1,164 @@
+"""Single-ray debug casting — the reference's ray visualizer.
+
+The reference's main interactive debugging instrument casts one ray through
+the screen center every 80 ms and draws the reflection/refraction path as GPU
+line segments (Game1.cs:289-328 -> RayTracer.CastRay's ``points`` capture at
+RayTracer.cs:543, :701, :740-747; drawn at Game1.cs:402-416).
+
+:func:`cast_ray_debug` is the batch equivalent: trace rays through the full
+wavefront recursion and return every path segment — (start, end) world
+positions plus the segment kind (primary / reflection / refraction), bounce
+level, hit flag and hit triangle — as flat arrays ready for plotting or
+assertion.  :func:`cast_screen_ray` casts through a pixel like the
+reference's center-screen ticker.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.config import RenderConfig
+from raytpu.core.camera import Camera, rays_through_screen
+from raytpu.render.wavefront import RaySet, _trace_level
+
+#: Segment kinds.
+PRIMARY = 0
+REFLECTION = 1
+REFRACTION = 2
+
+#: Length drawn for segments that escape to infinity (the reference draws
+#: origin + direction * 300 for misses, RayTracer.cs:736).
+MISS_LENGTH = 300.0
+
+
+class RayPath(NamedTuple):
+    """Flat (S,) arrays over all captured segments of all input rays."""
+
+    ray: np.ndarray    # input-ray index
+    level: np.ndarray  # recursion depth (0 = primary)
+    kind: np.ndarray   # PRIMARY / REFLECTION / REFRACTION
+    start: np.ndarray  # (S, 3)
+    end: np.ndarray    # (S, 3) hit position, or start + dir * MISS_LENGTH
+    hit: np.ndarray    # bool — segment terminated on geometry
+    tri: np.ndarray    # hit triangle id (-1 on miss)
+
+
+def cast_ray_debug(scene, cfg: RenderConfig, origin, direction) -> RayPath:
+    """Trace ``origin``/``direction`` (R, 3) and capture every path segment.
+
+    Runs the same level expansion as the renderer (wavefront._trace_level),
+    so the captured path is exactly what the renderer computes — not a
+    reimplementation that could drift.
+    """
+    origin = jnp.asarray(origin, jnp.float32).reshape(-1, 3)
+    direction = jnp.asarray(direction, jnp.float32).reshape(-1, 3)
+    r0 = origin.shape[0]
+    rays = RaySet(
+        origin=origin,
+        direction=direction,
+        ignore_tri=jnp.full((r0,), -1, jnp.int32),
+        ignore_mesh=jnp.full((r0,), -1, jnp.int32),
+        cur_ref=jnp.ones((r0,), jnp.float32),
+        alive=jnp.ones((r0,), bool),
+    )
+
+    segs = []
+
+    def capture(rays_in, hit_mask, frag_pos, tri, level, kind):
+        n = rays_in.origin.shape[0]
+        # Ray index within the original batch: children are concatenated
+        # [reflection | refraction], each block aligned with its parents.
+        idx = np.arange(n) % r0
+        start = np.asarray(rays_in.origin)
+        end_hit = np.asarray(frag_pos)
+        # Dead-direction children (e.g. total internal reflection makes
+        # refract_xna return NaN, matching the reference's unguarded Snell
+        # math) draw as zero-length segments instead of NaN endpoints.
+        d = np.asarray(rays_in.direction)
+        d = np.where(np.isfinite(d).all(axis=-1, keepdims=True), d, 0.0)
+        end_miss = start + d * MISS_LENGTH
+        hm = np.asarray(hit_mask)
+        alive = np.asarray(rays_in.alive)
+        keep = alive
+        segs.append((
+            idx[keep],
+            np.full(keep.sum(), level, np.int32),
+            np.full(keep.sum(), kind, np.int32),
+            start[keep],
+            np.where(hm[keep, None], end_hit[keep], end_miss[keep]),
+            hm[keep],
+            np.asarray(tri)[keep],
+        ))
+
+    level_rays = rays
+    kinds = [PRIMARY]
+    for level in range(cfg.max_reflections + 1):
+        is_max = level == cfg.max_reflections
+        # Re-run the level to get hit data for capture: _trace_level
+        # computes mask/children; we need frag positions, so recompute them
+        # from its intersection the same way it does.
+        from raytpu.accel.traverse import nearest_hit
+
+        hit = nearest_hit(
+            scene,
+            level_rays.origin,
+            jnp.where(level_rays.alive[..., None], level_rays.direction,
+                      jnp.float32(jnp.nan)),
+            ignore_tri=level_rays.ignore_tri,
+            ignore_mesh=level_rays.ignore_mesh,
+            cull=True,
+            intersector=cfg.intersector,
+            block=cfg.tri_block,
+            brute_force_max_tris=cfg.brute_force_max_tris,
+            cull_tile=cfg.cull_tile,
+            cull_chunk=cfg.cull_chunk,
+            cull_maxc=cfg.cull_maxc,
+        )
+        safe = jnp.maximum(hit.tri, 0)
+        frag = (scene.tri_v1[safe] + scene.tri_e1[safe] * hit.u[..., None]
+                + scene.tri_e2[safe] * hit.v[..., None])
+        mask = hit.hit & level_rays.alive
+
+        # One capture per kind-block at this level.
+        n_blocks = len(kinds)
+        blk = level_rays.origin.shape[0] // n_blocks if n_blocks else 0
+        for b, kind in enumerate(kinds):
+            sl = slice(b * blk, (b + 1) * blk)
+            sub = RaySet(*(a[sl] for a in level_rays))
+            capture(sub, mask[sl], frag[sl], np.asarray(hit.tri)[sl],
+                    level, kind)
+
+        if is_max:
+            break
+        _, children = _trace_level(scene, cfg, level_rays, is_max)
+        refl_rays, refr_rays = children
+        if scene.has_transparent and refr_rays is not None:
+            import jax
+
+            level_rays = jax.tree.map(
+                lambda x, y: jnp.concatenate([x, y]), refl_rays, refr_rays
+            )
+            kinds = [REFLECTION] * len(kinds) + [REFRACTION] * len(kinds)
+        else:
+            level_rays = refl_rays
+            kinds = [REFLECTION] * len(kinds)
+
+    cat = lambda i: np.concatenate([s[i] for s in segs])
+    return RayPath(ray=cat(0), level=cat(1), kind=cat(2), start=cat(3),
+                   end=cat(4), hit=cat(5), tri=cat(6))
+
+
+def cast_screen_ray(scene, cfg: RenderConfig, camera: Camera,
+                    px: float = None, py: float = None) -> RayPath:
+    """Cast through a pixel (default: screen center, like Game1.cs:307)."""
+    if px is None:
+        px = cfg.width / 2.0
+    if py is None:
+        py = cfg.height / 2.0
+    o, d = rays_through_screen(camera, cfg.width, cfg.height,
+                               jnp.asarray([px], jnp.float32),
+                               jnp.asarray([py], jnp.float32))
+    return cast_ray_debug(scene, cfg, o, d)
