@@ -71,6 +71,7 @@ def _fused_kernel(
     nc: int,
     k_chunk: int,
     ngrp: int = NGRP,
+    has_ignore: bool = True,
 ):
     ts = rays.shape[2]
     nc8 = aabb.shape[2]
@@ -205,16 +206,22 @@ def _fused_kernel(
     wy = dz * ox - dx * oz
     wz = dx * oy - dy * ox
 
-    lane = jax.lax.broadcasted_iota(i32, (ts, c), 1)
+    lane_row = jax.lax.broadcasted_iota(i32, (1, c), 1)
 
-    def test_cluster(grp, j, best_t, best_code):
-        """One (TS, C) Möller–Trumbore pass against queue slot (grp, j),
-        strict-min update.  Exact K=1 semantics: slots are tested in the
-        ascending-entry order they were picked; an INF (past-the-end) slot
-        contributes nothing (its ``ok`` mask is zeroed)."""
+    def test_cluster(grp, j):
+        """One (TS, C) Möller–Trumbore pass against queue slot (grp, j).
+
+        Returns (dist (TS, C), code (1, C)): per-pair hit distance (INF on
+        reject) and the global slot code.  No per-cluster reduction — the
+        trip body reduces all K clusters at once.  Past-the-end slots carry
+        dummy re-fetches of a real cluster; re-testing any cluster is
+        harmless (the MT test is exact and the strict-min update only ever
+        takes candidates below each ray's cap), so no validity mask is
+        needed.  Cluster padding rows are all-zero => det == 0 => rejected
+        by the det sign test, so no triangle-id >= 0 check is needed
+        either."""
         slot = grp * kc + j
         k_i = qk[slot]
-        valid = qv[slot] < INF
         wait_dma(slot, k_i)
         g = buf[slot]  # (24, C)
         row = lambda r: g[r:r + 1, :]  # (1, C)
@@ -243,30 +250,39 @@ def _fused_kernel(
             ok = ((us >= 0.0) & (vs >= 0.0) & (ts_ >= 0.0)
                   & (us + vs <= ps) & (ps > 0.0))
 
-        tid = jax.lax.bitcast_convert_type(row(16), i32)  # (1, C)
-        tmesh = jax.lax.bitcast_convert_type(row(17), i32)
-        ok &= (tid >= 0) & (tid != itri) & (tmesh != imesh)
-        ok &= valid
+        if has_ignore:
+            tid = jax.lax.bitcast_convert_type(row(16), i32)  # (1, C)
+            tmesh = jax.lax.bitcast_convert_type(row(17), i32)
+            ok &= (tid != itri) & (tmesh != imesh)
 
         dist = jnp.where(ok, tdet / det, INF)
-        mint = jnp.min(dist, axis=1, keepdims=True)  # (TS, 1)
-        # First (lowest Morton slot) among in-cluster equals.
-        pick_lane = jnp.min(jnp.where(dist == mint, lane, i32(c)), axis=1,
-                            keepdims=True)
-        upd = mint < best_t
-        best_t = jnp.where(upd, mint, best_t)
-        best_code = jnp.where(upd, k_i * c + pick_lane, best_code)
-        return best_t, best_code
+        code = k_i * c + lane_row  # (1, C)
+        return dist, code
 
     def body(state):
         i, cur_v, best_t, best_code = state
         grp = jax.lax.rem(i, NG)
 
-        # Test the K slots of this group in pick (ascending entry) order;
-        # past-the-end slots (qv == INF) carry dummy DMAs and masked
-        # updates, so the tail group needs no conditionals.
+        # Test the K slots of this group in pick (ascending entry) order,
+        # then do ONE wide strict-min update over all K*C candidates — one
+        # cross-lane reduction per trip instead of per cluster.
+        dists = []
+        codes = []
         for j in range(kc):
-            best_t, best_code = test_cluster(grp, j, best_t, best_code)
+            dist_j, code_j = test_cluster(grp, j)
+            dists.append(dist_j)
+            codes.append(code_j)
+        wide = jnp.concatenate(dists, axis=1) if kc > 1 else dists[0]
+        codew = jnp.concatenate(codes, axis=1) if kc > 1 else codes[0]
+        mint = jnp.min(wide, axis=1, keepdims=True)  # (TS, 1)
+        # Lowest global slot code among equals (ties across clusters in a
+        # trip resolve by Morton slot order; within the strict-min walk a
+        # tie with an earlier trip keeps the earlier hit).
+        pick_code = jnp.min(jnp.where(wide == mint, codew, i32(2 ** 30)),
+                            axis=1, keepdims=True)
+        upd = mint < best_t
+        best_t = jnp.where(upd, mint, best_t)
+        best_code = jnp.where(upd, pick_code, best_code)
 
         # Refill this group with the next K picks (to be tested at i+2).
         pick_group(grp)
@@ -307,11 +323,11 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("cull", "any_hit", "chunk_k", "ngrp",
-                              "interpret")
+                              "has_ignore", "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
                 any_hit: bool = False, chunk_k: int = 8, ngrp: int = NGRP,
-                interpret: bool = False):
+                has_ignore: bool = True, interpret: bool = False):
     """Run the fused kernel over (NT, ROWS, TS) packed ray tiles.
 
     ``aabb``: (6, 8, NC8) cluster AABB planes; ``root``: (1, 8) root box +
@@ -329,7 +345,7 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
 
     outs = pl.pallas_call(
         functools.partial(_fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
-                          k_chunk=chunk_k, ngrp=ngrp),
+                          k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -403,6 +419,9 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
 
     r = origin.shape[0]
     f32, i32 = jnp.float32, jnp.int32
+    # Primary rays pass no ignores; the kernel statically elides the
+    # triangle/mesh-id comparisons for them.
+    has_ignore = ignore_tri is not None or ignore_mesh is not None
     if ignore_tri is None:
         ignore_tri = jnp.full((r,), -1, i32)
     if ignore_mesh is None:
@@ -432,7 +451,8 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
 
     best_t, code, _iters = fused_tiles(
         packed, cl["aabb"], cl["root"], cl["block"],
-        cull=cull, any_hit=any_hit, chunk_k=chunk_k, interpret=interpret,
+        cull=cull, any_hit=any_hit, chunk_k=chunk_k,
+        has_ignore=has_ignore, interpret=interpret,
     )
 
     flat = lambda a: a.reshape(nt * ts)[:r]

@@ -414,13 +414,19 @@ def block_order_perm(width: int, height: int, block: int):
 
 
 def render_image(scene: FlatScene, cfg: RenderConfig,
-                 camera: Optional[Camera] = None):
+                 camera: Optional[Camera] = None, progress=None):
     """Full-frame render → (H, W, 3) float32 in [0, 1].
 
     The Render/RenderAsync equivalent (RayTracer.cs:391-428): primary rays
     through integer pixel coordinates, traced in square-block order.  With
     ``cfg.use_multisampling`` the adaptive 4-corner supersampler runs
     instead (RayTracer.cs:128-311).
+
+    ``progress``: optional ``callback(done, total)`` — the reference's
+    ``Progress`` fraction (RayTracer.cs:43-46, polled for the on-screen
+    overlay at Game1.cs:331-341).  When set, tiles are dispatched from a
+    host loop (one jitted call per tile batch) so the callback fires as the
+    frame advances; without it the whole frame is one ``lax.map`` program.
     """
     camera = camera or Camera(aspect=cfg.width / cfg.height)
     if cfg.use_multisampling:
@@ -430,6 +436,17 @@ def render_image(scene: FlatScene, cfg: RenderConfig,
     o, d = camera_rays(camera, cfg.width, cfg.height)
     block = max(1, int(cfg.cull_tile ** 0.5))
     perm = block_order_perm(cfg.width, cfg.height, block)
-    colors = render_rays(scene, cfg, o[perm], d[perm])
+    if progress is None:
+        colors = render_rays(scene, cfg, o[perm], d[perm])
+    else:
+        op, dp, n = _pad_rays(o[perm], d[perm], cfg.tile_pixels)
+        tiles = op.shape[0] // cfg.tile_pixels
+        fn = jax.jit(lambda s, to, td: trace_colors(s, cfg, to, td))
+        parts = []
+        for t in range(tiles):
+            sl = slice(t * cfg.tile_pixels, (t + 1) * cfg.tile_pixels)
+            parts.append(fn(scene, op[sl], dp[sl]))
+            progress(t + 1, tiles)
+        colors = jnp.concatenate(parts)[:n]
     out = jnp.zeros_like(colors).at[perm].set(colors)
     return out.reshape(cfg.height, cfg.width, 3)
