@@ -126,6 +126,33 @@ class ClusterTable:
         block[17] = mesh.reshape(nc, c).view(np.float32)
         block = np.ascontiguousarray(block.transpose(1, 0, 2))
 
+        # MXU-path coefficient table (kernels/fused.py, mxu=True): per
+        # cluster a (24, 4C) block whose first 16 rows are the matmul
+        # coefficients G with [det | udet | vdet | tdet] as (TS, C) column
+        # blocks of R @ G, R = [d, w, o, 1, pad] per ray:
+        #   det  = d.N                (rows 0-2 = N)
+        #   udet = d.M1n + w.E2n      (rows 0-2 = M1n, 3-5 = -e2)
+        #   vdet = d.M2  + w.E1      (rows 0-2 = M2,  3-5 = e1)
+        #   tdet = -o.N  + c0         (rows 6-8 = -N,  row 9 = c0)
+        # Row 16 carries [tid | tmesh | 0 | 0] as i32 bits.
+        gblock = np.zeros((24, 4 * c, nc), np.float32)
+
+        def gcol(q, rows3, vals):  # vals (T, 3) -> rows3 of column block q
+            for k3 in range(3):
+                gblock[rows3 + k3, q * c:(q + 1) * c] = (
+                    vals[:, k3].reshape(nc, c).transpose(1, 0))
+
+        gcol(0, 0, nrm)
+        gcol(1, 0, m1n)
+        gcol(1, 3, -e2h)
+        gcol(2, 0, m2)
+        gcol(2, 3, e1h)
+        gcol(3, 6, -nrm)
+        gblock[9, 3 * c:4 * c] = c0.reshape(nc, c).transpose(1, 0)
+        gblock[16, 0:c] = tri_id.reshape(nc, c).view(np.float32).T
+        gblock[16, c:2 * c] = mesh.reshape(nc, c).view(np.float32).T
+        gblock = np.ascontiguousarray(gblock.transpose(2, 0, 1))
+
         # Fused-kernel cull tables (kernels/fused.py): cluster AABB planes
         # laid out (6, 8, NC8) with cluster j at (j // NC8, j % NC8) — 8
         # sublanes x 128-multiple lanes so the in-kernel entry grid is a
@@ -160,6 +187,7 @@ class ClusterTable:
             "tri_snormal": perm(tri_snormal),
             "tri_mesh": jnp.asarray(mesh),
             "block": jnp.asarray(block),
+            "gblock": jnp.asarray(gblock),
         }
 
 

@@ -298,6 +298,7 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
 
         return nearest_hit_fused(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
-            tile_size=cull_tile, t_max=t_max, any_hit=any_hit,
+            tile_size=cull_tile, chunk_k=cull_chunk, t_max=t_max,
+            any_hit=any_hit,
         )
     raise ValueError(mode)

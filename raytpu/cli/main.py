@@ -150,6 +150,13 @@ def _flatten(scene, args):
     )
 
 
+def _dump_config(cfg, out_path: str) -> None:
+    """Serialize the run config alongside the output (SURVEY.md §5)."""
+    base = os.path.splitext(out_path)[0]
+    with open(base + ".config.json", "w") as f:
+        f.write(cfg.to_json())
+
+
 def cmd_render(args) -> int:
     from raytpu.io.image import write_image
     from raytpu.render import render_image
@@ -158,8 +165,16 @@ def cmd_render(args) -> int:
     flat = _flatten(scene, args)
     cfg = _config(args)
     cam = _camera(args, args.width / args.height)
-    img = render_image(flat, cfg, cam)
+    progress = None
+    if args.progress:
+        # The reference's on-screen "N.NN %" overlay (Game1.cs:331-344).
+        progress = lambda done, total: print(
+            f"\r{100.0 * done / total:6.2f} %", end="", flush=True)
+    img = render_image(flat, cfg, cam, progress=progress)
+    if args.progress:
+        print()
     write_image(args.out, img)
+    _dump_config(cfg, args.out)
     print(f"wrote {args.out} ({args.width}x{args.height}, "
           f"mean {float(np.asarray(img).mean()):.4f})")
     return 0
@@ -177,13 +192,27 @@ def cmd_animate(args) -> int:
 
     frame_dir = args.frame_dir or os.path.splitext(args.out)[0] + "_frames"
     os.makedirs(frame_dir, exist_ok=True)
+    _dump_config(cfg, args.out)
 
     cx, cy, cz = args.camera
     radius = math.hypot(cx, cz)
     base = math.atan2(cx, cz)
+
+    # Per-frame PNGs double as crash checkpoints: with --resume, frames
+    # already on disk are reused and only the missing ones re-render — the
+    # reference's analog is re-stitching saved frame PNGs via compileVideo
+    # after a crashed animation (Game1.cs:156-161, :192-210).
+    from raytpu.io.image import read_image
+
     with open_avi(args.out, args.width, args.height, fps=args.fps,
                   codec=args.codec) as w:
         for i in range(args.frames):
+            fp = os.path.join(frame_dir, f"frame_{i:04d}.png")
+            if args.resume and os.path.exists(fp):
+                frame = read_image(fp)
+                w.add_frame(frame)
+                print(f"frame {i + 1}/{args.frames} (resumed)", flush=True)
+                continue
             # Orbit the camera through 2*pi like the reference advanced the
             # object rotation per completed frame (Game1.cs:163-190).
             ang = base + 2.0 * math.pi * i / args.frames
@@ -196,8 +225,7 @@ def cmd_animate(args) -> int:
             )
             img = np.asarray(render_image(flat, cfg, cam))
             frame = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-            if frame_dir:
-                write_image(os.path.join(frame_dir, f"frame_{i:04d}.png"), img)
+            write_image(fp, img)
             w.add_frame(frame)
             print(f"frame {i + 1}/{args.frames}", flush=True)
     print(f"wrote {args.out} ({args.frames} frames @ {args.fps} fps)")
@@ -276,6 +304,8 @@ def _add_common(p):
     p.add_argument("--reflect", type=float, default=0.5)
     p.add_argument("--transparent", action="store_true")
     p.add_argument("--obj-scale", type=float, default=1.0)
+    p.add_argument("--progress", action="store_true",
+                   help="print percent progress (Game1.cs:331-344 overlay)")
 
 
 def main(argv=None) -> int:
@@ -292,6 +322,8 @@ def main(argv=None) -> int:
                     help="reference default (Game1.cs:194)")
     pa.add_argument("--codec", default="MJPG", choices=("MJPG", "DIB "))
     pa.add_argument("--frame-dir", default=None)
+    pa.add_argument("--resume", action="store_true",
+                    help="reuse frame PNGs already in --frame-dir")
     pa.set_defaults(out="turntable.avi")
 
     pf = sub.add_parser("fit", help="inverse-rendering optimization")

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from raytpu.accel.traverse import Hit
 
 INF = 3.4028235e38
-NGRP = 2  # DMA pipeline depth in chunk groups (group g+1 in flight)
+NGRP = 4  # DMA pipeline depth in chunk groups (groups g+1.. in flight)
 ROWS = 16  # packed ray rows (o, d, tmax, itri, imesh, pad)
 
 
@@ -72,10 +72,11 @@ def _fused_kernel(
     k_chunk: int,
     ngrp: int = NGRP,
     has_ignore: bool = True,
+    mxu: bool = False,
 ):
     ts = rays.shape[2]
     nc8 = aabb.shape[2]
-    c = buf.shape[2]
+    c = buf.shape[2] // 4 if mxu else buf.shape[2]
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -208,6 +209,18 @@ def _fused_kernel(
 
     lane_row = jax.lax.broadcasted_iota(i32, (1, c), 1)
 
+    if mxu:
+        # Ray matrix for the MXU path: [d, w, o, 1, pad] per ray; all four
+        # Möller–Trumbore quantities are linear in these 10 values, so one
+        # (TS, 16) @ (16, 4C) matmul per cluster computes them (see
+        # accel/clusters.py gblock packing).
+        ones = jnp.ones((ts, 1), f32)
+        zeros = jnp.zeros((ts, 1), f32)
+        rmat = jnp.concatenate(
+            [dx, dy, dz, wx, wy, wz, ox, oy, oz, ones] + [zeros] * 6,
+            axis=1,
+        )  # (TS, 16)
+
     def test_cluster(grp, j):
         """One (TS, C) Möller–Trumbore pass against queue slot (grp, j).
 
@@ -223,19 +236,29 @@ def _fused_kernel(
         slot = grp * kc + j
         k_i = qk[slot]
         wait_dma(slot, k_i)
-        g = buf[slot]  # (24, C)
-        row = lambda r: g[r:r + 1, :]  # (1, C)
-        nx, ny, nz = row(0), row(1), row(2)
+        g = buf[slot]  # (24, C) exact / (24, 4C) mxu
+        if mxu:
+            # One MXU matmul yields all four det-space quantities for the
+            # whole cluster: R (TS, 16) @ G (16, 4C) -> [det|udet|vdet|tdet]
+            # column blocks.  f32 inputs with preferred f32 accumulate.
+            out = jnp.dot(rmat, g[0:16, :], preferred_element_type=f32)
+            det = out[:, 0:c]
+            udet = out[:, c:2 * c]
+            vdet = out[:, 2 * c:3 * c]
+            tdet = out[:, 3 * c:4 * c]
+        else:
+            row = lambda r: g[r:r + 1, :]  # (1, C)
+            nx, ny, nz = row(0), row(1), row(2)
 
-        # Möller–Trumbore in triple-product form, acceptance in
-        # det-multiplied space (no per-pair reciprocal).  Division only for
-        # the hit distance of accepted pairs.
-        det = dx * nx + dy * ny + dz * nz
-        udet = (wx * row(6) + wy * row(7) + wz * row(8)
-                + dx * row(3) + dy * row(4) + dz * row(5))
-        vdet = (wx * row(12) + wy * row(13) + wz * row(14)
-                + dx * row(9) + dy * row(10) + dz * row(11))
-        tdet = row(15) - (ox * nx + oy * ny + oz * nz)
+            # Möller–Trumbore in triple-product form, acceptance in
+            # det-multiplied space (no per-pair reciprocal).  Division only
+            # for the hit distance of accepted pairs.
+            det = dx * nx + dy * ny + dz * nz
+            udet = (wx * row(6) + wy * row(7) + wz * row(8)
+                    + dx * row(3) + dy * row(4) + dz * row(5))
+            vdet = (wx * row(12) + wy * row(13) + wz * row(14)
+                    + dx * row(9) + dy * row(10) + dz * row(11))
+            tdet = row(15) - (ox * nx + oy * ny + oz * nz)
         if cull:
             # Backface cull accepts det < 0 only (sign(det) ==
             # sign(dot(snormal, d)), see clusters.py packing), so the
@@ -251,8 +274,13 @@ def _fused_kernel(
                   & (us + vs <= ps) & (ps > 0.0))
 
         if has_ignore:
-            tid = jax.lax.bitcast_convert_type(row(16), i32)  # (1, C)
-            tmesh = jax.lax.bitcast_convert_type(row(17), i32)
+            if mxu:
+                ids = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+                tid = ids[:, 0:c]
+                tmesh = ids[:, c:2 * c]
+            else:
+                tid = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+                tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
             ok &= (tid != itri) & (tmesh != imesh)
 
         dist = jnp.where(ok, tdet / det, INF)
@@ -323,11 +351,12 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("cull", "any_hit", "chunk_k", "ngrp",
-                              "has_ignore", "interpret")
+                              "has_ignore", "mxu", "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
-                any_hit: bool = False, chunk_k: int = 8, ngrp: int = NGRP,
-                has_ignore: bool = True, interpret: bool = False):
+                any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
+                has_ignore: bool = True, mxu: bool = False,
+                interpret: bool = False):
     """Run the fused kernel over (NT, ROWS, TS) packed ray tiles.
 
     ``aabb``: (6, 8, NC8) cluster AABB planes; ``root``: (1, 8) root box +
@@ -345,7 +374,8 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
 
     outs = pl.pallas_call(
         functools.partial(_fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
-                          k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore),
+                          k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
+                          mxu=mxu),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -400,12 +430,23 @@ def _pad_rows(a, tile, fill):
 def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ignore_mesh=None, cull: bool = True,
                       tile_size: int = 256, t_max=None,
-                      any_hit: bool = False, chunk_k: int = 8,
-                      interpret=None) -> Hit:
-    """Exact nearest hit via the fully-fused Pallas kernel."""
+                      any_hit: bool = False, chunk_k: int = 1,
+                      ngrp: int = NGRP, mxu=None, interpret=None) -> Hit:
+    """Exact nearest hit via the fully-fused Pallas kernel.
+
+    ``mxu``: compute the four Möller–Trumbore det-space quantities with one
+    (TS, 16) @ (16, 4C) MXU matmul per cluster instead of ~31 VPU
+    elementwise ops (None = use it whenever the scene bake carries the
+    coefficient table).  f32 in / f32 preferred accumulation; on TPU the
+    matmul may round differently from the elementwise chain at triangle
+    edges (sub-1e-6 relative), which can flip strictly edge-grazing pairs —
+    the (u, v, t) returned for the winner are recomputed exactly either
+    way."""
     if interpret is None:
         interpret = _default_interpret()
     cl = scene.clusters
+    if mxu is None:
+        mxu = "gblock" in cl
     csize = cl["block"].shape[2]
     if not interpret and csize % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; small test clusters
@@ -450,9 +491,9 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     packed = packed.reshape(ROWS, nt, ts).transpose(1, 0, 2)
 
     best_t, code, _iters = fused_tiles(
-        packed, cl["aabb"], cl["root"], cl["block"],
-        cull=cull, any_hit=any_hit, chunk_k=chunk_k,
-        has_ignore=has_ignore, interpret=interpret,
+        packed, cl["aabb"], cl["root"], cl["gblock" if mxu else "block"],
+        cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
+        has_ignore=has_ignore, mxu=mxu, interpret=interpret,
     )
 
     flat = lambda a: a.reshape(nt * ts)[:r]
