@@ -51,6 +51,10 @@ def render_rays_sharded(scene: FlatScene, cfg: RenderConfig, origin, direction,
         mesh=mesh,
         in_specs=(P(), spec, spec),
         out_specs=spec,
+        # pallas_call (the fused intersector) does not annotate varying
+        # mesh axes on its out_shapes yet; skip the vma check so the
+        # Pallas backend runs under shard_map.
+        check_vma=False,
     )
     def shard_trace(scene_rep, o, d):
         # The replicated scene enters the shard unvarying; promote it to

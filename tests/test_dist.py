@@ -22,7 +22,9 @@ def test_mesh_spans_all_devices():
     assert mesh.size == len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("intersector", [Intersector.BRUTE, Intersector.OCTREE])
+@pytest.mark.parametrize(
+    "intersector", [Intersector.BRUTE, Intersector.OCTREE, Intersector.PALLAS]
+)
 def test_sharded_matches_single_device(flat, intersector):
     cfg = small_cfg(width=32, height=24, intersector=intersector)
     cam = default_camera(aspect=32 / 24)
