@@ -91,9 +91,15 @@ def main():
 
     fn = jax.jit(lambda s, o, d: render_rays(s, cfg, o, d))
 
+    def sync(out):
+        # Force a device-to-host scalar copy: honest completion even on
+        # backends where block_until_ready returns before execution
+        # finishes (observed on the experimental axon tunnel platform).
+        return float(np.asarray(out.sum()))
+
     t0 = time.perf_counter()
     img = fn(flat, origin, direction)
-    jax.block_until_ready(img)
+    sync(img)
     compile_s = time.perf_counter() - t0
 
     hit_frac = float(np.asarray(img).any(axis=-1).mean())
@@ -101,7 +107,7 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(flat, origin, direction))
+        sync(fn(flat, origin, direction))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
