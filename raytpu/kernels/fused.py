@@ -235,7 +235,6 @@ def _fused_kernel(
         either."""
         slot = grp * kc + j
         k_i = qk[slot]
-        wait_dma(slot, k_i)
         g = buf[slot]  # (24, C) exact / (24, 4C) mxu
         if mxu:
             # One MXU matmul yields all four det-space quantities for the
@@ -291,9 +290,11 @@ def _fused_kernel(
         i, cur_v, best_t, best_code = state
         grp = jax.lax.rem(i, NG)
 
-        # Test the K slots of this group in pick (ascending entry) order,
-        # then do ONE wide strict-min update over all K*C candidates — one
-        # cross-lane reduction per trip instead of per cluster.
+        # Wait the whole group's DMAs up front (one fence point per trip
+        # instead of a wait interleaved before every test), then run the K
+        # tests and ONE wide strict-min update over all K*C candidates.
+        for j in range(kc):
+            wait_dma(grp * kc + j, qk[grp * kc + j])
         dists = []
         codes = []
         for j in range(kc):
