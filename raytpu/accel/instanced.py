@@ -1,0 +1,126 @@
+"""Two-level instanced intersection — the reference's scene-octree design.
+
+The reference's scene level (OctreeSpatialManager.cs:312-482) keeps ONE
+copy of each mesh and intersects instances by transforming the ray into
+each candidate object's space via ``InverseWorld`` — the two-point method:
+transform origin and origin+dir as points, re-subtract, normalize
+(OctreeSpatialManager.cs:349-364, whose comment notes the naive direction
+transform is wrong under non-uniform scale) — then compares WORLD distances
+of the per-object hits (OctreeSpatialManager.cs:438-452).
+
+The default raytpu path deliberately bakes instances into one world-space
+triangle soup (scene/flatten.py): one flat cluster table, zero per-ray
+transforms, the best shape for the fused kernel.  This module is the
+two-level alternative for scenes where N instances of a large mesh would
+blow up memory N-fold: per unique mesh one FlatScene bake, per instance a
+world/inverse pair; rays are transformed per instance, intersected against
+the shared bake, and merged by world-space distance — exactly the
+reference's semantics, vectorized over the ray batch.
+
+Cost model: every instance pays a full intersector pass over the ray batch
+(no scene-level octree pruning — on TPU the per-instance pass IS the
+pruned unit: its cluster cull rejects rays missing the instance cheaply).
+Use for few instances of heavy meshes; use flatten() baking otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.accel.traverse import Hit, nearest_hit
+from raytpu.config import Intersector
+
+INF = 3.4028235e38
+
+
+class InstancedHit(NamedTuple):
+    """Nearest hit over all instances, distances in WORLD space."""
+
+    hit: jnp.ndarray       # (R,) bool
+    t_world: jnp.ndarray   # (R,) world-space distance to the hit
+    u: jnp.ndarray         # (R,) barycentric u (object space — invariant)
+    v: jnp.ndarray         # (R,)
+    tri: jnp.ndarray       # (R,) triangle id within the winning mesh bake
+    instance: jnp.ndarray  # (R,) winning instance index (-1 on miss)
+
+
+class Instance(NamedTuple):
+    mesh_index: int        # index into the shared mesh bakes
+    world: np.ndarray      # (4, 4) row-vector convention (p @ W)
+    inv_world: np.ndarray  # (4, 4)
+
+
+def make_instance(mesh_index: int, world: np.ndarray) -> Instance:
+    world = np.asarray(world, np.float32)
+    return Instance(mesh_index, world, np.linalg.inv(world).astype(np.float32))
+
+
+def _transform_points(p, m):
+    return p @ m[:3, :3] + m[3, :3]
+
+
+def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
+                          origin, direction,
+                          intersector: Intersector = Intersector.AUTO,
+                          **kw) -> InstancedHit:
+    """Nearest hit of ``origin``/``direction`` (R, 3, world space) over all
+    instances, merged by world distance.
+
+    ``mesh_bakes``: per unique mesh, a FlatScene from flattening that mesh
+    alone in OBJECT space (``scene/flatten.py`` with an identity
+    SceneObject).  The instance loop is unrolled at trace time — one
+    intersector pass per instance, the TPU-native analog of the scene
+    octree's per-candidate-object loop (OctreeSpatialManager.cs:366-379).
+    """
+    origin = jnp.asarray(origin, jnp.float32)
+    direction = jnp.asarray(direction, jnp.float32)
+    r = origin.shape[0]
+
+    best = InstancedHit(
+        hit=jnp.zeros((r,), bool),
+        t_world=jnp.full((r,), INF, jnp.float32),
+        u=jnp.zeros((r,), jnp.float32),
+        v=jnp.zeros((r,), jnp.float32),
+        tri=jnp.full((r,), -1, jnp.int32),
+        instance=jnp.full((r,), -1, jnp.int32),
+    )
+
+    for idx, inst in enumerate(instances):
+        bake = mesh_bakes[inst.mesh_index]
+        inv = jnp.asarray(inst.inv_world)
+        w = jnp.asarray(inst.world)
+
+        # Two-point direction transform (OctreeSpatialManager.cs:349-364):
+        # transform origin and origin+dir as points, re-subtract, normalize.
+        o_obj = _transform_points(origin, inv)
+        p2_obj = _transform_points(origin + direction, inv)
+        d_obj = p2_obj - o_obj
+        norm = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
+        d_obj = d_obj / jnp.where(norm == 0, 1.0, norm)
+
+        h: Hit = nearest_hit(bake, o_obj, d_obj, intersector=intersector,
+                             **kw)
+
+        # World-space hit point and distance (OctreeSpatialManager.cs:
+        # 438-452): object hit = v1 + e1*u + e2*v, transformed by World.
+        safe = jnp.maximum(h.tri, 0)
+        frag_obj = (bake.tri_v1[safe]
+                    + bake.tri_e1[safe] * h.u[..., None]
+                    + bake.tri_e2[safe] * h.v[..., None])
+        frag_w = _transform_points(frag_obj, w)
+        t_world = jnp.linalg.norm(frag_w - origin, axis=-1)
+        t_world = jnp.where(h.hit, t_world, INF)
+
+        upd = t_world < best.t_world
+        best = InstancedHit(
+            hit=best.hit | (upd & h.hit),
+            t_world=jnp.where(upd, t_world, best.t_world),
+            u=jnp.where(upd, h.u, best.u),
+            v=jnp.where(upd, h.v, best.v),
+            tri=jnp.where(upd, h.tri, best.tri),
+            instance=jnp.where(upd, jnp.int32(idx), best.instance),
+        )
+    return best

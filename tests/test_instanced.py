@@ -1,0 +1,105 @@
+"""Two-level instanced intersection vs baked flatten (accel/instanced.py).
+
+The oracle is the default path: baking the same instances into world-space
+triangles must give identical hits (same triangles, same world distances) —
+the equivalence the reference maintains between its per-object octrees and
+world-space geometry (OctreeSpatialManager.cs:312-482).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytpu.accel.instanced import make_instance, nearest_hit_instanced
+from raytpu.accel.traverse import nearest_hit_brute
+from raytpu.config import Intersector
+from raytpu.core import xna
+from raytpu.scene.procedural import box, uv_sphere
+from raytpu.scene.types import Material, Scene, SceneObject
+
+
+def _bake_single(mesh):
+    return Scene(objects=[SceneObject(meshes=[mesh])]).flatten(
+        build_octree=False, cluster_size=16
+    )
+
+
+def _world(scale, rotation, position):
+    return np.asarray(
+        xna.compose_world_np(scale, rotation, position), np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sphere = uv_sphere(radius=1.0, stacks=8, slices=12,
+                       material=Material())
+    crate = box(size=(2.0, 2.0, 2.0), material=Material())
+    bakes = [_bake_single(sphere), _bake_single(crate)]
+    placements = [
+        (0, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0), (-3.0, 1.0, 0.0)),
+        (0, (2.0, 2.0, 2.0), (0.0, 0.7, 0.0), (3.0, 2.0, -1.0)),
+        (1, (1.0, 3.0, 1.0), (0.2, 0.0, 0.4), (0.0, 1.5, 2.0)),  # non-uniform
+    ]
+    instances = [
+        make_instance(mi, _world(s, r, p)) for mi, s, r, p in placements
+    ]
+    # Baked oracle: same meshes instanced through SceneObject transforms.
+    meshes = [sphere, crate]
+    baked = Scene(objects=[
+        SceneObject(meshes=[meshes[mi]], scale=s, rotation=r, position=p)
+        for mi, s, r, p in placements
+    ]).flatten(build_octree=False, cluster_size=16)
+    return bakes, instances, baked
+
+
+def _rays(n=96, seed=3):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-8, 8, size=(n, 3)).astype(np.float32)
+    o[:, 1] += 9.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestInstancedVsBaked:
+    def test_hits_and_world_distances_match(self, setup):
+        bakes, instances, baked = setup
+        o, d = _rays()
+        hi = nearest_hit_instanced(bakes, instances, o, d,
+                                   intersector=Intersector.BRUTE)
+        hb = nearest_hit_brute(baked, o, d, block=512)
+        np.testing.assert_array_equal(np.asarray(hi.hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        # World distances agree (baked t is along a unit world direction).
+        np.testing.assert_allclose(np.asarray(hi.t_world)[m],
+                                   np.asarray(hb.t)[m], rtol=2e-4, atol=1e-4)
+
+    def test_nonuniform_scale_direction_transform(self, setup):
+        """Rays along an axis against the non-uniformly scaled crate: the
+        two-point direction transform must land the same world hits as the
+        baked geometry (the naive direction transform would not)."""
+        bakes, instances, baked = setup
+        n = 32
+        xs = np.linspace(-0.8, 0.8, n).astype(np.float32)
+        o = np.stack([xs, np.full(n, 1.5, np.float32),
+                      np.full(n, 10.0, np.float32)], axis=1)
+        d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+        hi = nearest_hit_instanced(bakes, instances, jnp.asarray(o),
+                                   jnp.asarray(d),
+                                   intersector=Intersector.BRUTE)
+        hb = nearest_hit_brute(baked, jnp.asarray(o), jnp.asarray(d),
+                               block=512)
+        np.testing.assert_array_equal(np.asarray(hi.hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        assert m.any()
+        np.testing.assert_allclose(np.asarray(hi.t_world)[m],
+                                   np.asarray(hb.t)[m], rtol=2e-4, atol=1e-4)
+        # Winning instance is the crate placement.
+        assert (np.asarray(hi.instance)[m] == 2).all()
+
+    def test_instance_sharing_reduces_memory(self, setup):
+        bakes, instances, baked = setup
+        shared_tris = sum(b.num_tris for b in bakes)
+        assert baked.num_tris > shared_tris  # two sphere instances baked
