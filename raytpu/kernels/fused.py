@@ -1,8 +1,8 @@
-"""Fully-fused nearest-hit Pallas kernel: cull + select + intersect in VMEM.
+"""Fully-fused nearest-hit Pallas kernel: cull + walk + intersect in VMEM.
 
-v2 of the TPU intersector (replaces kernels/intersect.py + the XLA-side
-cull/select of accel/tiled.py for the PALLAS path).  One grid step per ray
-tile; everything happens on-chip:
+The production TPU intersector (replaces kernels/intersect.py + the
+XLA-side cull/select of accel/tiled.py for the PALLAS path).  One grid step
+per ray tile; everything happens on-chip:
 
 1. **Tile bounds** — origin AABB + direction interval box reduced from the
    tile's rays (non-finite rays excluded), plus the per-ray root-AABB t cap.
@@ -25,6 +25,13 @@ tile; everything happens on-chip:
    (A Morton-range variant — one pick anchoring a contiguous K-range in a
    single DMA — measured 2.3x SLOWER: the anchor's Morton neighbors are
    rarely the next-nearest candidates, so trips did not shrink.)
+
+The Möller–Trumbore quantities come from either ~31 VPU elementwise ops
+(exact triple-product path) or, with ``mxu=True``, one (TS, 16) @ (16, 4C)
+MXU matmul per cluster — all four det-space quantities are linear in
+(d, w, o, 1) (see accel/clusters.py gblock).  DMA waits for a trip's K
+slots are hoisted ahead of its tests (one fence point per trip), and the
+strict-min update reduces all K*C candidates in one cross-lane pass.
 
 Versus v1 (XLA cull + top-maxc select + kernel): the dense (tiles, clusters)
 mask/entry arrays never touch HBM, the pathological XLA select (334 ms of a
