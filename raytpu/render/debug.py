@@ -162,3 +162,94 @@ def cast_screen_ray(scene, cfg: RenderConfig, camera: Camera,
                                jnp.asarray([px], jnp.float32),
                                jnp.asarray([py], jnp.float32))
     return cast_ray_debug(scene, cfg, o, d)
+
+
+# ---------------------------------------------------------------------------
+# Wireframe overlays — the reference's AABB / octree-node visualization
+# (DrawableBox.cs:29-97, OctreeSpatialManager.DrawNode at
+# OctreeSpatialManager.cs:277-310, #if DEBUG blocks in SceneObject.cs).
+
+_BOX_EDGES = [
+    (0, 1), (1, 3), (3, 2), (2, 0),  # bottom
+    (4, 5), (5, 7), (7, 6), (6, 4),  # top
+    (0, 4), (1, 5), (2, 6), (3, 7),  # verticals
+]
+
+
+def _project(points, camera: Camera, width: int, height: int):
+    """World points -> pixel coordinates + in-front mask (row-vector XNA
+    view/projection, matching core/xna.py conventions)."""
+    from raytpu.core import xna
+
+    view = np.asarray(camera.view())
+    proj = np.asarray(camera.projection())
+    p = np.asarray(points, np.float32)
+    xyz, w = xna.transform_homogeneous(jnp.asarray(p @ view[:3, :3]
+                                                   + view[3, :3]), proj)
+    xyz = np.asarray(xyz)
+    w = np.asarray(w)
+    in_front = w > 1e-6
+    ndc = xyz / np.where(in_front, w, 1.0)[..., None]
+    px = (ndc[..., 0] * 0.5 + 0.5) * width
+    py = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
+    return np.stack([px, py], axis=-1), in_front
+
+
+def _draw_line(img, p0, p1, color):
+    """Clipped DDA line rasterization into an (H, W, 3) float image."""
+    h, w = img.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1))
+    xs = np.linspace(p0[0], p1[0], n + 1)
+    ys = np.linspace(p0[1], p1[1], n + 1)
+    xi = np.round(xs).astype(int)
+    yi = np.round(ys).astype(int)
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    img[yi[ok], xi[ok]] = color
+
+
+def draw_aabbs(image, camera: Camera, box_min, box_max,
+               color=(0.0, 1.0, 0.0)):
+    """Overlay wireframe AABBs onto a rendered image (returns a copy).
+
+    ``box_min``/``box_max``: (B, 3).  Edges with either endpoint behind the
+    camera are skipped (the reference's GPU line lists were clipped by the
+    rasterizer).  Use with scene.clusters["cluster_min"/"cluster_max"] or
+    octree node bounds for the structure-debugging views the reference got
+    from DrawNode.
+    """
+    img = np.array(image, np.float32, copy=True)
+    h, w = img.shape[:2]
+    bmin = np.asarray(box_min, np.float32).reshape(-1, 3)
+    bmax = np.asarray(box_max, np.float32).reshape(-1, 3)
+    color = np.asarray(color, np.float32)
+    for mn, mx in zip(bmin, bmax):
+        corners = np.asarray([
+            [mn[0], mn[1], mn[2]], [mx[0], mn[1], mn[2]],
+            [mn[0], mx[1], mn[2]], [mx[0], mx[1], mn[2]],
+            [mn[0], mn[1], mx[2]], [mx[0], mn[1], mx[2]],
+            [mn[0], mx[1], mx[2]], [mx[0], mx[1], mx[2]],
+        ], np.float32)
+        px, front = _project(corners, camera, w, h)
+        for a, b in _BOX_EDGES:
+            if front[a] and front[b]:
+                _draw_line(img, px[a], px[b], color)
+    return img
+
+
+def draw_ray_path(image, camera: Camera, path: RayPath,
+                  colors=((1.0, 1.0, 0.0), (0.0, 1.0, 1.0),
+                          (1.0, 0.0, 1.0))):
+    """Overlay captured ray segments (cast_ray_debug) onto an image.
+
+    Segment color by kind: primary / reflection / refraction — the batch
+    analog of the reference's line-list draw (Game1.cs:402-416).
+    """
+    img = np.array(image, np.float32, copy=True)
+    h, w = img.shape[:2]
+    for i in range(len(path.ray)):
+        ends = np.stack([path.start[i], path.end[i]])
+        px, front = _project(ends, camera, w, h)
+        if front.all():
+            _draw_line(img, px[0], px[1],
+                       np.asarray(colors[int(path.kind[i]) % len(colors)]))
+    return img
