@@ -63,7 +63,8 @@ def _transform_points(p, m):
 
 
 def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
-                          origin, direction,
+                          origin, direction, t_max=None,
+                          ignore_tri=None, ignore_instance=None,
                           intersector: Intersector = Intersector.AUTO,
                           **kw) -> InstancedHit:
     """Nearest hit of ``origin``/``direction`` (R, 3, world space) over all
@@ -74,6 +75,12 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
     SceneObject).  The instance loop is unrolled at trace time — one
     intersector pass per instance, the TPU-native analog of the scene
     octree's per-candidate-object loop (OctreeSpatialManager.cs:366-379).
+
+    ``t_max``: (R,) WORLD-space search bound (converted per instance to
+    object scale through the direction-transform norm).  ``ignore_tri``
+    with ``ignore_instance``: per-ray (triangle, instance) to skip — the
+    instanced form of the reference's ignoreTriangle (the same mesh's other
+    instances must still test that triangle).
     """
     origin = jnp.asarray(origin, jnp.float32)
     direction = jnp.asarray(direction, jnp.float32)
@@ -101,7 +108,18 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
         norm = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
         d_obj = d_obj / jnp.where(norm == 0, 1.0, norm)
 
-        h: Hit = nearest_hit(bake, o_obj, d_obj, intersector=intersector,
+        # World t -> object t along the normalized object direction: a world
+        # step of 1 maps to |inv_world . d| object units (= norm).
+        t_max_obj = None
+        if t_max is not None:
+            t_max_obj = jnp.asarray(t_max, jnp.float32) * norm[:, 0]
+        itri = None
+        if ignore_tri is not None:
+            this = jnp.asarray(ignore_instance) == idx
+            itri = jnp.where(this, jnp.asarray(ignore_tri, jnp.int32), -1)
+
+        h: Hit = nearest_hit(bake, o_obj, d_obj, t_max=t_max_obj,
+                             ignore_tri=itri, intersector=intersector,
                              **kw)
 
         # World-space hit point and distance (OctreeSpatialManager.cs:
