@@ -173,6 +173,17 @@ class ClusterTable:
         root[0, 3:6] = root_max
         root[0, 6] = margin
 
+        # Packed slot-ordered winner-recompute row (Tp, 16): v1 e1 e2 (3
+        # each), triangle id bits (col 9) — ONE gather per ray resolves the
+        # fused kernel's winning code to exact (u, v, t) inputs + id
+        # (kernels/fused.py host-side epilogue), instead of four.
+        tp = nc * c
+        slotgeo = np.zeros((tp, 16), np.float32)
+        slotgeo[:, 0:3] = v1h
+        slotgeo[:, 3:6] = e1h
+        slotgeo[:, 6:9] = e2h
+        slotgeo[:, 9] = tri_id.view(np.float32)
+
         return {
             "cluster_min": jnp.asarray(self.cluster_min),
             "cluster_max": jnp.asarray(self.cluster_max),
@@ -188,6 +199,7 @@ class ClusterTable:
             "tri_mesh": jnp.asarray(mesh),
             "block": jnp.asarray(block),
             "gblock": jnp.asarray(gblock),
+            "slotgeo": jnp.asarray(slotgeo),
         }
 
 

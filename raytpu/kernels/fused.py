@@ -247,7 +247,8 @@ def _fused_kernel(
             # One MXU matmul yields all four det-space quantities for the
             # whole cluster: R (TS, 16) @ G (16, 4C) -> [det|udet|vdet|tdet]
             # column blocks.  f32 inputs with preferred f32 accumulate.
-            out = jnp.dot(rmat, g[0:16, :], preferred_element_type=f32)
+            out = jnp.dot(rmat, g[0:16, :], preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
             det = out[:, 0:c]
             udet = out[:, c:2 * c]
             vdet = out[:, 2 * c:3 * c]
@@ -509,15 +510,20 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     code = flat(code)
     hit = code >= 0
     safe = jnp.maximum(code, 0)
-    tri = jnp.where(hit, cl["tri_id"][safe], -1)
 
     # Recompute (u, v, t) for the winning triangle with the kernel's exact
     # formula order (bit-identical rounding): the coefficient vectors are
     # rebuilt from the slot-ordered geometry with the same elementwise ops
-    # the host-side bake used (accel/clusters.py).
-    v1 = cl["tri_v1"][safe]
-    e1 = cl["tri_e1"][safe]
-    e2 = cl["tri_e2"][safe]
+    # the host-side bake used (accel/clusters.py).  One packed gather
+    # (slotgeo) resolves v1/e1/e2/id — TPU row gathers are expensive, so
+    # four separate ones measurably slowed the epilogue.
+    sg = cl["slotgeo"][safe]  # (R, 16)
+    tri = jnp.where(
+        hit, jax.lax.bitcast_convert_type(sg[:, 9], i32), -1
+    )
+    v1 = sg[:, 0:3]
+    e1 = sg[:, 3:6]
+    e2 = sg[:, 6:9]
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
     wx = dy * oz - dz * oy
