@@ -124,6 +124,16 @@ class ClusterTable:
             block[i] = r.reshape(nc, c)
         block[16] = tri_id.reshape(nc, c).view(np.float32)
         block[17] = mesh.reshape(nc, c).view(np.float32)
+        # Rows 18-23: the cluster's own AABB (min xyz, max xyz) replicated
+        # across lanes — rides along with the geometry DMA so the fused
+        # kernel can run a per-ray slab pretest and skip the whole
+        # Möller–Trumbore pass for clusters no unresolved ray can improve
+        # on (kernels/fused.py).
+        mn_c = self.cluster_min  # (NC, 3)
+        mx_c = self.cluster_max
+        for k3 in range(3):
+            block[18 + k3] = mn_c[:, k3:k3 + 1]
+            block[21 + k3] = mx_c[:, k3:k3 + 1]
         block = np.ascontiguousarray(block.transpose(1, 0, 2))
 
         # MXU-path coefficient table (kernels/fused.py, mxu=True): per
@@ -151,6 +161,10 @@ class ClusterTable:
         gblock[9, 3 * c:4 * c] = c0.reshape(nc, c).transpose(1, 0)
         gblock[16, 0:c] = tri_id.reshape(nc, c).view(np.float32).T
         gblock[16, c:2 * c] = mesh.reshape(nc, c).view(np.float32).T
+        # Rows 18-23: cluster AABB replicated across lanes (see block above).
+        for k3 in range(3):
+            gblock[18 + k3] = mn_c[:, k3:k3 + 1].T
+            gblock[21 + k3] = mx_c[:, k3:k3 + 1].T
         gblock = np.ascontiguousarray(gblock.transpose(2, 0, 1))
 
         # Fused-kernel cull tables (kernels/fused.py): cluster AABB planes

@@ -25,13 +25,27 @@ per ray tile; everything happens on-chip:
    (A Morton-range variant — one pick anchoring a contiguous K-range in a
    single DMA — measured 2.3x SLOWER: the anchor's Morton neighbors are
    rarely the next-nearest candidates, so trips did not shrink.)
+4. **Per-ray slab pretest** (``pretest``) — before a picked cluster's
+   Möller–Trumbore pass runs, a ~40-op per-ray slab test against the
+   cluster's own AABB (rows 18-23 of its DMA block, margin-expanded)
+   checks whether ANY unresolved ray could still improve on it; if not,
+   the whole (TS, C) test is skipped via ``lax.cond``.  The tile-level
+   cull is conservative over the beam, so many walked clusters intersect
+   no individual ray — skipping them is exact.
+5. **Periodic re-cull** (``recull_every``) — every few trips the entry
+   grid is rebuilt from the *unresolved* rays only (resolved rays stop
+   inflating the tile bounds) and pruned against their current best
+   distances.  Entries only ever tighten (grow), so pick order stays
+   nondecreasing and the settle proof is unaffected; consumed clusters
+   are excluded via a ``done`` grid.  This attacks lockstep-tile
+   conservatism head-on: once the bulk of a tile resolves, the walk
+   continues with the narrow unresolved beam instead of the full tile.
 
 The Möller–Trumbore quantities come from either ~31 VPU elementwise ops
 (exact triple-product path) or, with ``mxu=True``, one (TS, 16) @ (16, 4C)
 MXU matmul per cluster — all four det-space quantities are linear in
 (d, w, o, 1) (see accel/clusters.py gblock).  DMA waits for a trip's K
-slots are hoisted ahead of its tests (one fence point per trip), and the
-strict-min update reduces all K*C candidates in one cross-lane pass.
+slots are hoisted ahead of its tests (one fence point per trip).
 
 Versus v1 (XLA cull + top-maxc select + kernel): the dense (tiles, clusters)
 mask/entry arrays never touch HBM, the pathological XLA select (334 ms of a
@@ -67,8 +81,12 @@ def _fused_kernel(
     rays,      # (1, ROWS, TS) VMEM packed rays
     aabb,      # (6, 8, NC8) VMEM cluster AABBs (min xyz, max xyz planes)
     block_hbm,  # (NC, 24, C) ANY packed cluster geometry
-    out_t, out_code, out_iters,  # outputs
+    out_t, out_code, out_res, out_iters,  # outputs
     ent,       # (8, NC8) VMEM scratch: remaining entry bounds
+    done,      # (8, NC8) VMEM scratch: 1.0 where the cluster was picked
+    bt_ref,    # (TS, 1) VMEM scratch: per-ray best hit distance
+    bc_ref,    # (TS, 1) VMEM scratch: per-ray best slot code
+    rs_ref,    # (TS, 1) VMEM scratch: 1.0 where the ray is resolved
     qk, qv,    # (NGRP*K,) SMEM scratch: DMA queue cluster ids / entry bounds
     buf,       # (NGRP*K, 24, C) VMEM scratch (slot = grp*K + j)
     sem,       # DMA semaphores (NGRP*K,)
@@ -80,6 +98,10 @@ def _fused_kernel(
     ngrp: int = NGRP,
     has_ignore: bool = True,
     mxu: bool = False,
+    mxu_precision: str = "highest",
+    recull_every: int = 6,
+    pretest: bool = True,
+    max_trips: int = 0,
 ):
     ts = rays.shape[2]
     nc8 = aabb.shape[2]
@@ -130,46 +152,73 @@ def _fused_kernel(
     tile_tmax = jnp.max(tmax0)
 
     # ---- In-kernel cull: entry-bound grid over all clusters ----
-    # Division-free interval slab test (accel/tiled.py::cull_clusters): per
-    # axis, the conservative entry/exit of t >= 0 with t*d in [s_lo, s_hi]
-    # for some d in [d_lo, d_hi]; only per-tile scalar reciprocals.
-    t_lo = jnp.zeros((8, nc8), f32)
-    t_hi = jnp.full((8, nc8), INF, f32)
-    for k in range(3):
-        d_lo = d_min[k]
-        d_hi = d_max[k]
-        inv_hi = 1.0 / jnp.where(d_hi == 0.0, f32(1.0), d_hi)
-        inv_lo = 1.0 / jnp.where(d_lo == 0.0, f32(1.0), d_lo)
-        hi_pos = d_hi > 0.0
-        lo_pos = d_lo > 0.0
-        lo_neg = d_lo < 0.0
-        hi_neg = d_hi < 0.0
-
-        s_lo = aabb[k] - o_max[k]
-        s_hi = aabb[3 + k] - o_min[k]
-        pos = s_lo > 0.0
-        neg = s_hi < 0.0
-
-        lo_k = jnp.where(
-            pos,
-            jnp.where(hi_pos, s_lo * inv_hi, INF),
-            jnp.where(neg, jnp.where(lo_neg, s_hi * inv_lo, INF), f32(0.0)),
-        )
-        hi_same = jnp.where(lo_pos, s_hi * inv_lo,
-                            jnp.where(hi_neg, s_lo * inv_hi, INF))
-        hi_k = jnp.where(pos, jnp.where(lo_pos, s_hi * inv_lo, INF),
-                         jnp.where(neg,
-                                   jnp.where(hi_neg, s_lo * inv_hi, INF),
-                                   hi_same))
-        t_lo = jnp.maximum(t_lo, lo_k)
-        t_hi = jnp.minimum(t_hi, hi_k)
-    feasible = (t_lo <= t_hi) & (t_lo < INF) & (t_lo < tile_tmax)
-    # Padding columns (cluster id >= nc) are never feasible.
     row_io = jax.lax.broadcasted_iota(i32, (8, nc8), 0)
     col_io = jax.lax.broadcasted_iota(i32, (8, nc8), 1)
     flat_io = row_io * nc8 + col_io
-    feasible &= flat_io < nc
-    ent[:, :] = jnp.where(feasible & any_finite, t_lo, INF)
+    valid_col = flat_io < nc  # padding columns are never feasible
+
+    def tile_bounds(m):
+        """Origin AABB + direction interval box over the rays in mask ``m``."""
+        mbig = jnp.where(m, f32(0.0), f32(INF))
+
+        def bmin(a):
+            return jnp.min(jnp.where(m, a, f32(0.0)) + mbig)
+
+        def bmax(a):
+            return jnp.max(jnp.where(m, a, f32(0.0)) - mbig)
+
+        any_m = jnp.max(m.astype(f32)) > 0.0
+        om = [jnp.where(any_m, bmin(a), f32(0.0)) for a in (ox, oy, oz)]
+        oM = [jnp.where(any_m, bmax(a), f32(0.0)) for a in (ox, oy, oz)]
+        dm = [jnp.where(any_m, bmin(a), f32(1.0)) for a in (dx, dy, dz)]
+        dM = [jnp.where(any_m, bmax(a), f32(1.0)) for a in (dx, dy, dz)]
+        return om, oM, dm, dM, any_m
+
+    def entry_grid(m, wcap):
+        """Conservative entry bounds for the beam over ray mask ``m``.
+
+        Division-free interval slab test (accel/tiled.py::cull_clusters):
+        per axis, the conservative entry/exit of t >= 0 with t*d in
+        [s_lo, s_hi] for some d in [d_lo, d_hi]; only per-tile scalar
+        reciprocals.  ``wcap``: prune clusters whose entry cannot beat any
+        of the masked rays' current best (INF entry = infeasible)."""
+        o_min, o_max, d_min, d_max, any_m = tile_bounds(m)
+        t_lo = jnp.zeros((8, nc8), f32)
+        t_hi = jnp.full((8, nc8), INF, f32)
+        for k in range(3):
+            d_lo = d_min[k]
+            d_hi = d_max[k]
+            inv_hi = 1.0 / jnp.where(d_hi == 0.0, f32(1.0), d_hi)
+            inv_lo = 1.0 / jnp.where(d_lo == 0.0, f32(1.0), d_lo)
+            hi_pos = d_hi > 0.0
+            lo_pos = d_lo > 0.0
+            lo_neg = d_lo < 0.0
+            hi_neg = d_hi < 0.0
+
+            s_lo = aabb[k] - o_max[k]
+            s_hi = aabb[3 + k] - o_min[k]
+            pos = s_lo > 0.0
+            neg = s_hi < 0.0
+
+            lo_k = jnp.where(
+                pos,
+                jnp.where(hi_pos, s_lo * inv_hi, INF),
+                jnp.where(neg, jnp.where(lo_neg, s_hi * inv_lo, INF),
+                          f32(0.0)),
+            )
+            hi_same = jnp.where(lo_pos, s_hi * inv_lo,
+                                jnp.where(hi_neg, s_lo * inv_hi, INF))
+            hi_k = jnp.where(pos, jnp.where(lo_pos, s_hi * inv_lo, INF),
+                             jnp.where(neg,
+                                       jnp.where(hi_neg, s_lo * inv_hi, INF),
+                                       hi_same))
+            t_lo = jnp.maximum(t_lo, lo_k)
+            t_hi = jnp.minimum(t_hi, hi_k)
+        feasible = (t_lo <= t_hi) & (t_lo < INF) & (t_lo < wcap) & valid_col
+        return jnp.where(feasible & any_m, t_lo, INF)
+
+    ent[:, :] = entry_grid(finite, tile_tmax)
+    done[:, :] = jnp.zeros((8, nc8), f32)
 
     # ---- Chunked argmin walk with an ngrp-deep DMA pipeline ----
     NG = ngrp
@@ -180,7 +229,10 @@ def _fused_kernel(
         e = ent[:, :]
         v = jnp.min(e)
         k = jnp.min(jnp.where(e == v, flat_io, i32(nc)))
-        ent[:, :] = jnp.where(flat_io == k, INF, e)
+        picked = flat_io == k
+        ent[:, :] = jnp.where(picked, INF, e)
+        # Mark consumed so a later re-cull cannot resurrect it.
+        done[:, :] = jnp.where(picked, f32(1.0), done[:, :])
         return v, k
 
     def start_dma(slot, k):
@@ -248,7 +300,11 @@ def _fused_kernel(
             # whole cluster: R (TS, 16) @ G (16, 4C) -> [det|udet|vdet|tdet]
             # column blocks.  f32 inputs with preferred f32 accumulate.
             out = jnp.dot(rmat, g[0:16, :], preferred_element_type=f32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision={
+                              "default": jax.lax.Precision.DEFAULT,
+                              "high": jax.lax.Precision.HIGH,
+                              "highest": jax.lax.Precision.HIGHEST,
+                          }[mxu_precision])
             det = out[:, 0:c]
             udet = out[:, c:2 * c]
             vdet = out[:, 2 * c:3 * c]
@@ -294,58 +350,122 @@ def _fused_kernel(
         code = k_i * c + lane_row  # (1, C)
         return dist, code
 
+    # Per-ray reciprocal directions, hoisted for the slab pretest.
+    inv_d = [1.0 / jnp.where(dk == 0.0, f32(1e-30), dk)
+             for dk in (dx, dy, dz)]
+    o_xyz = (ox, oy, oz)
+
+    def slab_viable(g, best_t, resolved):
+        """Scalar: can this cluster improve any unresolved ray's best?
+
+        Exact per-ray slab test against the cluster's own AABB (rows 18-23
+        of the DMA'd block, margin-expanded), ~40 (TS, 1) VPU ops — 200x
+        cheaper than the (TS, C) Möller–Trumbore pass it can skip.  The
+        tile-level cull is conservative over the whole beam, so many walked
+        clusters intersect *no* individual ray, and once best_t tightens,
+        clusters behind every unresolved ray's hit cannot improve either.
+        Skipping is exact: a skipped cluster has no triangle hit closer
+        than best_t for any unresolved ray, and resolved rays are final."""
+        t_en = jnp.full((ts, 1), -INF, f32)
+        t_ex = jnp.full((ts, 1), INF, f32)
+        for k in range(3):
+            mn_k = jnp.max(g[18 + k:19 + k, :]) - margin
+            mx_k = jnp.max(g[21 + k:22 + k, :]) + margin
+            t1 = (mn_k - o_xyz[k]) * inv_d[k]
+            t2 = (mx_k - o_xyz[k]) * inv_d[k]
+            t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
+            t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
+        viable_r = (
+            ~resolved & finite & (t_en <= t_ex) & (t_ex >= 0.0)
+            & (t_en < jnp.minimum(best_t, tmax0))
+        )
+        return jnp.max(viable_r.astype(f32)) > 0.0
+
+    bt_ref[:, :] = tmax0
+    bc_ref[:, :] = jnp.full((ts, 1), -1, i32)
+    rs_ref[:, :] = (~finite | (tmax0 <= 0.0)).astype(f32)
+
     def body(state):
-        i, cur_v, best_t, best_code = state
+        i, cur_v = state
         grp = jax.lax.rem(i, NG)
 
         # Wait the whole group's DMAs up front (one fence point per trip
-        # instead of a wait interleaved before every test), then run the K
-        # tests and ONE wide strict-min update over all K*C candidates.
+        # instead of a wait interleaved before every test), then run each
+        # slot's test behind its slab pretest: the Möller–Trumbore pass is
+        # skipped outright when no unresolved ray can improve.
         for j in range(kc):
             wait_dma(grp * kc + j, qk[grp * kc + j])
-        dists = []
-        codes = []
         for j in range(kc):
-            dist_j, code_j = test_cluster(grp, j)
-            dists.append(dist_j)
-            codes.append(code_j)
-        wide = jnp.concatenate(dists, axis=1) if kc > 1 else dists[0]
-        codew = jnp.concatenate(codes, axis=1) if kc > 1 else codes[0]
-        mint = jnp.min(wide, axis=1, keepdims=True)  # (TS, 1)
-        # Lowest global slot code among equals (ties across clusters in a
-        # trip resolve by Morton slot order; within the strict-min walk a
-        # tie with an earlier trip keeps the earlier hit).
-        pick_code = jnp.min(jnp.where(wide == mint, codew, i32(2 ** 30)),
-                            axis=1, keepdims=True)
-        upd = mint < best_t
-        best_t = jnp.where(upd, mint, best_t)
-        best_code = jnp.where(upd, pick_code, best_code)
+            g = buf[grp * kc + j]
 
-        # Refill this group with the next K picks (to be tested at i+2).
-        pick_group(grp)
+            def do_test(j=j):
+                dist, code = test_cluster(grp, j)
+                mint = jnp.min(dist, axis=1, keepdims=True)  # (TS, 1)
+                # Lowest slot code among equals (ties within a cluster
+                # resolve by lane order; across trips the strict-min keeps
+                # the earlier — lower-entry — hit).
+                pc = jnp.min(jnp.where(dist == mint, code, i32(2 ** 30)),
+                             axis=1, keepdims=True)
+                bt = bt_ref[:, :]
+                upd = mint < bt
+                bt_ref[:, :] = jnp.where(upd, mint, bt)
+                bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
+
+            if pretest:
+                resolved = rs_ref[:, :] > 0.0
+                pl.when(slab_viable(g, bt_ref[:, :], resolved))(do_test)
+            else:
+                do_test()
 
         nxt = jax.lax.rem(i + 1, NG)
         v_next = qv[nxt * kc]
+        best_t = bt_ref[:, :]
+        # A ray is resolved once its best hit provably precedes every
+        # untested cluster (entries are picked in nondecreasing order, and
+        # a re-cull only ever *raises* a remaining cluster's entry, so
+        # v_next lower-bounds everything still untested).  Resolution is
+        # final: monotone, and proved against the entries in force at the
+        # time.
         if any_hit:
-            # Occlusion query: stop once every ray found *some* hit inside
-            # its bound or is provably clear.
-            resolved = (best_t < tmax0) | (tmax0 <= v_next)
-            settled = jnp.all(resolved)
+            # Occlusion query: resolved = found *some* hit inside the
+            # bound, or provably clear.
+            res_new = (best_t < tmax0) | (tmax0 <= v_next)
         else:
-            settled = jnp.all(best_t <= v_next)
+            res_new = best_t <= v_next
+        resolved = (rs_ref[:, :] > 0.0) | res_new
+        rs_ref[:, :] = resolved.astype(f32)
+
+        if recull_every:
+            @pl.when(jax.lax.rem(i + 1, recull_every) == 0)
+            def _recull():
+                # Rebuild the entry grid from the *unresolved* beam only:
+                # settled rays stop inflating the tile bounds, so entries
+                # tighten, far clusters fall out (entry >= every unresolved
+                # ray's current best), and the walk settles sooner.
+                # Consumed clusters stay consumed (``done``).
+                wcap = jnp.max(jnp.where(
+                    ~resolved, jnp.minimum(best_t, tmax0), f32(-INF)))
+                grid = entry_grid(finite & ~resolved, wcap)
+                ent[:, :] = jnp.where(done[:, :] > 0.0, INF, grid)
+
+        # Refill this group with the next K picks (to be tested at i+NG).
+        pick_group(grp)
+
+        settled = jnp.all(resolved)
         cur_next = jnp.where(settled, INF, v_next)
-        return i + 1, cur_next, best_t, best_code
+        return i + 1, cur_next
 
     def cond(state):
-        return state[1] < INF
+        # ``max_trips`` bounds the walk (two-phase driver: phase 1 runs on
+        # a budget, survivors re-tile into phase 2); 0 = walk to settle.
+        live = state[1] < INF
+        if max_trips:
+            live &= state[0] < max_trips
+        return live
 
-    init = (
-        jnp.int32(0),
-        qv[0],
-        tmax0,
-        jnp.full((ts, 1), -1, i32),
-    )
-    iters, _, best_t, best_code = jax.lax.while_loop(cond, body, init)
+    iters, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), qv[0]))
+    best_t = bt_ref[:, :]
+    best_code = bc_ref[:, :]
 
     # Drain: every started-but-unconsumed DMA must be waited.  Every queue
     # slot of both groups has a DMA in flight (dummy fetches included), so
@@ -355,17 +475,22 @@ def _fused_kernel(
 
     out_t[0, 0, :] = best_t[:, 0]
     out_code[0, 0, :] = best_code[:, 0]
+    out_res[0, 0, :] = (rs_ref[:, :] > 0.0).astype(i32)[:, 0]
     out_iters[0, 0, 0] = iters
 
 
 @functools.partial(
     jax.jit, static_argnames=("cull", "any_hit", "chunk_k", "ngrp",
-                              "has_ignore", "mxu", "interpret")
+                              "has_ignore", "mxu", "mxu_precision",
+                              "recull_every", "pretest", "max_trips",
+                              "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
                 any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
                 has_ignore: bool = True, mxu: bool = False,
-                interpret: bool = False):
+                mxu_precision: str = "highest",
+                recull_every: int = 6, pretest: bool = True,
+                max_trips: int = 0, interpret: bool = False):
     """Run the fused kernel over (NT, ROWS, TS) packed ray tiles.
 
     ``aabb``: (6, 8, NC8) cluster AABB planes; ``root``: (1, 8) root box +
@@ -384,7 +509,9 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
     outs = pl.pallas_call(
         functools.partial(_fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
                           k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
-                          mxu=mxu),
+                          mxu=mxu, mxu_precision=mxu_precision,
+                          recull_every=recull_every, pretest=pretest,
+                          max_trips=max_trips),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -401,16 +528,23 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
+            jax.ShapeDtypeStruct((nt, 1, ts), i32),
             jax.ShapeDtypeStruct((nt, 1, 1), i32),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, nc8), f32),
+            pltpu.VMEM((8, nc8), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), i32),
+            pltpu.VMEM((ts, 1), f32),
             pltpu.SMEM((ngrp * chunk_k,), i32),
             pltpu.SMEM((ngrp * chunk_k,), f32),
             pltpu.VMEM((ngrp * chunk_k, 24, csize), f32),
@@ -418,8 +552,9 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
         ],
         interpret=interpret,
     )(root, rays_packed, aabb, block)
-    t, code, iters = outs
-    return t.reshape(nt, ts), code.reshape(nt, ts), iters.reshape(nt)
+    t, code, res, iters = outs
+    return (t.reshape(nt, ts), code.reshape(nt, ts),
+            res.reshape(nt, ts), iters.reshape(nt))
 
 
 def _default_interpret() -> bool:
@@ -440,7 +575,9 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ignore_mesh=None, cull: bool = True,
                       tile_size: int = 256, t_max=None,
                       any_hit: bool = False, chunk_k: int = 1,
-                      ngrp: int = NGRP, mxu=None, interpret=None) -> Hit:
+                      ngrp: int = NGRP, mxu=None, recull_every: int = 6,
+                      pretest: bool = True, return_iters: bool = False,
+                      interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
 
     ``mxu``: compute the four Möller–Trumbore det-space quantities with one
@@ -499,10 +636,11 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     )  # (ROWS, R)
     packed = packed.reshape(ROWS, nt, ts).transpose(1, 0, 2)
 
-    best_t, code, _iters = fused_tiles(
+    best_t, code, _res, _iters = fused_tiles(
         packed, cl["aabb"], cl["root"], cl["gblock" if mxu else "block"],
         cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
-        has_ignore=has_ignore, mxu=mxu, interpret=interpret,
+        has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
+        pretest=pretest, interpret=interpret,
     )
 
     flat = lambda a: a.reshape(nt * ts)[:r]
@@ -548,4 +686,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     u = jnp.where(hit, udet / safe_det, 0.0)
     v = jnp.where(hit, vdet / safe_det, 0.0)
     t = jnp.where(hit, tdet / safe_det, INF)
-    return Hit(hit=hit, t=t, u=u, v=v, tri=tri)
+    out = Hit(hit=hit, t=t, u=u, v=v, tri=tri)
+    if return_iters:
+        return out, _iters
+    return out

@@ -27,16 +27,26 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, args, reps, name):
+def _sync(out):
+    # Force a device-to-host scalar copy: block_until_ready returns early on
+    # the experimental axon tunnel platform (see docs/PERF.md), so timings
+    # must sync through an actual transfer.
     import jax
 
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "sum")]
+    for x in leaves:
+        np.asarray(x.sum() if x.dtype != bool else x.any())
+    return out
+
+
+def timed(fn, args, reps, name):
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
+    out = _sync(fn(*args))
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     best = min(times)
     print(f"{name:8s} compile={compile_s:7.1f}s best={best * 1e3:9.2f}ms "
@@ -54,6 +64,8 @@ def main():
     p.add_argument("--tile", type=int, default=256)
     p.add_argument("--maxc", type=int, default=256)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--recull", type=int, default=6)
+    p.add_argument("--no-pretest", action="store_true")
     p.add_argument("--phases", type=str, default="cull,select,kernel,full")
     args = p.parse_args()
     phases = set(args.phases.split(","))
@@ -130,17 +142,83 @@ def main():
         from raytpu.kernels.fused import nearest_hit_fused
 
         fused_fn = jax.jit(lambda s, o_, d_: nearest_hit_fused(
-            s, o_, d_, tile_size=ts))
-        hit, best = timed(fused_fn, (flat, origin, direction), args.reps,
-                          "fused")
+            s, o_, d_, tile_size=ts, recull_every=args.recull,
+            pretest=not args.no_pretest, return_iters=True))
+        (hit, iters), best = timed(fused_fn, (flat, origin, direction),
+                                   args.reps, "fused")
         h = np.asarray(hit.hit)
+        it = np.asarray(iters)
         print(f"fused: hit_frac={h.mean():.3f} "
               f"rays/s={r / best / 1e6:.1f}M (primary only)")
-        shadow_fn = jax.jit(lambda s, o_, d_: nearest_hit_fused(
-            s, o_, d_, tile_size=ts, any_hit=True,
-            t_max=jnp.full((o_.shape[0],), 30.0, jnp.float32)))
-        hit, best = timed(shadow_fn, (flat, origin, direction), args.reps,
-                          "fused-ah")
+        print(f"trips/tile: mean={it.mean():.1f} p50={np.median(it):.0f} "
+              f"p95={np.percentile(it, 95):.0f} max={it.max()}")
+
+        # Shadow query from the *actual* primary hit points toward the
+        # bench light — the second half of the headline frame's
+        # intersection work (wavefront._light_result).
+        def shadow(s, o_, d_):
+            ht = nearest_hit_fused(s, o_, d_, tile_size=ts)
+            frag = o_ + d_ * ht.t[:, None]
+            lp = jnp.array([0.0, 30.0, 25.0], jnp.float32)
+            sdir = lp - frag
+            sdist = jnp.linalg.norm(sdir, axis=-1)
+            sdir = sdir / sdist[:, None]
+            sdir = jnp.where(ht.hit[:, None], sdir, jnp.nan)
+            sh = nearest_hit_fused(
+                s, frag, sdir, ignore_tri=ht.tri, tile_size=ts,
+                any_hit=True, t_max=sdist)
+            return sh.hit
+        _, best_sh = timed(jax.jit(shadow), (flat, origin, direction),
+                           args.reps, "prim+sh")
+        print(f"shadow-only ~= {1e3 * (best_sh - best):.1f}ms")
+
+    if "kern2" in phases:
+        # The fused kernel alone on pre-packed tiles: isolates the in-VMEM
+        # walk from ray packing (host-side stack) and the winner epilogue
+        # (slotgeo gather + exact recompute).
+        from raytpu.kernels.fused import ROWS, fused_tiles
+
+        cl = flat.clusters
+        f32 = jnp.float32
+        i32 = jnp.int32
+        rr = origin.shape[0]
+        nt = rr // ts
+        bits = lambda a: jax.lax.bitcast_convert_type(a, f32)
+        packed = jnp.stack(
+            [origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             jnp.full((rr,), 3.4028235e38, f32),
+             bits(jnp.full((rr,), -1, i32)),
+             bits(jnp.full((rr,), -1, i32))]
+            + [jnp.zeros((rr,), f32)] * (ROWS - 9),
+            axis=0,
+        ).reshape(ROWS, nt, ts).transpose(1, 0, 2)
+        packed = jax.device_put(packed)
+
+        k2 = jax.jit(lambda p, a, ro, b: fused_tiles(
+            p, a, ro, b, has_ignore=False, mxu=True,
+            recull_every=args.recull, pretest=not args.no_pretest))
+        (bt, code, res, iters), best = timed(
+            k2, (packed, cl["aabb"], cl["root"], cl["gblock"]),
+            args.reps, "kern2")
+        it = np.asarray(iters)
+        print(f"kern2 trips/tile: mean={it.mean():.1f} "
+              f"p50={np.median(it):.0f} p95={np.percentile(it, 95):.0f} "
+              f"max={it.max()} rays/s={rr / best / 1e6:.1f}M")
+
+    if "frame" in phases:
+        from raytpu.config import Intersector, Quantize, RenderConfig
+        from raytpu.render.wavefront import render_rays
+
+        cfg = RenderConfig(
+            width=args.res, height=args.res, max_reflections=0,
+            intersector=Intersector.PALLAS, tile_pixels=32768,
+            quantize=Quantize.NONE, cull_tile=ts)
+        frame_fn = jax.jit(lambda s, o_, d_: render_rays(s, cfg, o_, d_))
+        _, best_fr = timed(frame_fn, (flat, origin, direction), args.reps,
+                           "frame")
+        print(f"frame: {2 * r / best_fr / 1e6:.1f}M rays/s "
+              f"(primary+shadow metric)")
 
 
 if __name__ == "__main__":
