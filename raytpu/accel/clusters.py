@@ -217,11 +217,46 @@ class ClusterTable:
         }
 
 
-def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
-                   valid: Optional[np.ndarray] = None) -> ClusterTable:
-    """Cluster ``tri_verts`` (T, 3, 3) into Morton-ordered groups.
+def _median_split_leaves(centroids: np.ndarray, idx: np.ndarray,
+                         cluster_size: int) -> list:
+    """Spatial-median BVH leaves of <= cluster_size triangles each.
 
-    O(T log T) host time, fully vectorized; rebuilds are cheap enough to run
+    Level-synchronous longest-axis median splits (argpartition per segment,
+    O(T log T) host time).  Versus Morton runs this yields *tight*, nearly
+    disjoint leaf AABBs: a fixed-length run of Z-curve codes snakes across
+    cells and jumps at curve discontinuities, so Morton clusters measured
+    ~5-7x wider per axis on the 1M-tri bench terrain (a 0.6x0.6 beam
+    column overlapped a median of 34 Morton clusters vs ~4-9 spatial
+    patches) — which is exactly the number of front-to-back trips the
+    fused kernel's walk has to make per tile."""
+    segments = [idx]
+    leaves = []
+    while segments:
+        nxt = []
+        for seg in segments:
+            if seg.shape[0] <= cluster_size:
+                leaves.append(seg)
+                continue
+            c = centroids[seg]
+            ext = c.max(axis=0) - c.min(axis=0)
+            axis = int(np.argmax(ext))
+            half = seg.shape[0] // 2
+            part = np.argpartition(c[:, axis], half)
+            nxt.append(seg[part[:half]])
+            nxt.append(seg[part[half:]])
+        segments = nxt
+    return leaves
+
+
+def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
+                   valid: Optional[np.ndarray] = None,
+                   method: str = "median") -> ClusterTable:
+    """Cluster ``tri_verts`` (T, 3, 3) into fixed-size spatial groups.
+
+    ``method="median"`` (default): spatial-median BVH leaves, tight and
+    nearly disjoint (see _median_split_leaves).  ``method="morton"``: the
+    round-1 fixed-length Morton-run clustering (kept for comparison).
+    O(T log T) host time either way; rebuilds are cheap enough to run
     per-epoch while fitting geometry (diff/fit.py).
     """
     v = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
@@ -231,17 +266,35 @@ def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
     idx = np.flatnonzero(valid)
     centroids = v[idx].mean(axis=1)
 
-    lo = centroids.min(axis=0)
-    hi = centroids.max(axis=0)
-    extent = np.maximum(hi - lo, 1e-30)
-    q = np.clip(((centroids - lo) / extent) * 1023.0, 0, 1023).astype(np.uint32)
-    codes = morton3(q[:, 0], q[:, 1], q[:, 2])
-    order = idx[np.argsort(codes, kind="stable")].astype(np.int64)
+    if method == "median" and idx.shape[0] > cluster_size:
+        leaves = _median_split_leaves(centroids, idx, cluster_size)
+        # Order leaves by the Morton code of their centroid so neighboring
+        # slots stay spatially local (slot order breaks exact-tie picks).
+        cents = np.stack([centroids[np.searchsorted(idx, lf)].mean(axis=0)
+                          for lf in leaves])
+        lo = cents.min(axis=0)
+        extent = np.maximum(cents.max(axis=0) - lo, 1e-30)
+        q = np.clip(((cents - lo) / extent) * 1023.0, 0, 1023).astype(
+            np.uint32)
+        codes = morton3(q[:, 0], q[:, 1], q[:, 2])
+        leaves = [leaves[i] for i in np.argsort(codes, kind="stable")]
+        nc = len(leaves)
+        slots = np.full(nc * cluster_size, -1, np.int64)
+        for i, lf in enumerate(leaves):
+            slots[i * cluster_size:i * cluster_size + lf.shape[0]] = lf
+    else:
+        lo = centroids.min(axis=0)
+        hi = centroids.max(axis=0)
+        extent = np.maximum(hi - lo, 1e-30)
+        q = np.clip(((centroids - lo) / extent) * 1023.0, 0, 1023).astype(
+            np.uint32)
+        codes = morton3(q[:, 0], q[:, 1], q[:, 2])
+        order = idx[np.argsort(codes, kind="stable")].astype(np.int64)
 
-    n = order.shape[0]
-    nc = max(1, -(-n // cluster_size))
-    slots = np.full(nc * cluster_size, -1, np.int64)
-    slots[:n] = order
+        n = order.shape[0]
+        nc = max(1, -(-n // cluster_size))
+        slots = np.full(nc * cluster_size, -1, np.int64)
+        slots[:n] = order
 
     member = v[np.maximum(slots, 0)]  # (Tp, 3, 3)
     big = np.float32(3.4028235e38)
@@ -253,6 +306,8 @@ def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
     )
     cluster_min = mn.min(axis=(1, 2))
     cluster_max = mx.max(axis=(1, 2))
+    # Fully-padded clusters (possible when leaves under-fill) keep +/-big
+    # bounds and are never feasible in any cull.
 
     return ClusterTable(
         order=slots,

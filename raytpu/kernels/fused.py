@@ -99,8 +99,8 @@ def _fused_kernel(
     has_ignore: bool = True,
     mxu: bool = False,
     mxu_precision: str = "highest",
-    recull_every: int = 6,
-    pretest: bool = True,
+    recull_every: int = 0,
+    pretest: bool = False,
     max_trips: int = 0,
 ):
     ts = rays.shape[2]
@@ -109,37 +109,33 @@ def _fused_kernel(
     f32 = jnp.float32
     i32 = jnp.int32
 
+    # Per-ray prologue math runs in lane-major (1, TS) layout — a (TS, 1)
+    # vector occupies TS/8 vregs at 1/128 lane utilization, so the same op
+    # costs 16x more there; only the quantities the per-cluster test
+    # broadcasts against (1, C) triangle rows need the (TS, 1) layout.
+    row = lambda r: rays[0, r:r + 1, :]  # (1, TS)
+    oxr, oyr, ozr = row(0), row(1), row(2)
+    dxr, dyr, dzr = row(3), row(4), row(5)
+    tmax_in = row(6)
+
     col = lambda r: rays[0, r, :].reshape(ts, 1)
     ox, oy, oz = col(0), col(1), col(2)
     dx, dy, dz = col(3), col(4), col(5)
-    tmax_in = col(6)
     itri = jax.lax.bitcast_convert_type(col(7), i32)
     imesh = jax.lax.bitcast_convert_type(col(8), i32)
 
-    # ---- Tile bounds (non-finite rays excluded; prepare_tiles parity) ----
+    # ---- Tile bounds mask (non-finite rays excluded; prepare_tiles
+    # parity); the bound reductions themselves live in tile_bounds(). ----
     finite = (
-        jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
-        & jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz)
+        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
+        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
     )
-    fbig = jnp.where(finite, f32(0.0), f32(INF))
-
-    def fmin(a):
-        return jnp.min(jnp.where(finite, a, f32(0.0)) + fbig)
-
-    def fmax(a):
-        return jnp.max(jnp.where(finite, a, f32(0.0)) - fbig)
-
-    any_finite = jnp.max(finite.astype(f32)) > 0.0
-    o_min = [jnp.where(any_finite, fmin(a), f32(0.0)) for a in (ox, oy, oz)]
-    o_max = [jnp.where(any_finite, fmax(a), f32(0.0)) for a in (ox, oy, oz)]
-    d_min = [jnp.where(any_finite, fmin(a), f32(1.0)) for a in (dx, dy, dz)]
-    d_max = [jnp.where(any_finite, fmax(a), f32(1.0)) for a in (dx, dy, dz)]
 
     # ---- Per-ray root-AABB t cap (accel/tiled.py::prepare_tiles) ----
     margin = root_ref[0, 6]
-    t_en = jnp.full((ts, 1), -INF, f32)
-    t_ex = jnp.full((ts, 1), INF, f32)
-    for k, dk, okr in ((0, dx, ox), (1, dy, oy), (2, dz, oz)):
+    t_en = jnp.full((1, ts), -INF, f32)
+    t_ex = jnp.full((1, ts), INF, f32)
+    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
         safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
         t1 = (root_ref[0, k] - margin - okr) / safe_d
         t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
@@ -148,8 +144,9 @@ def _fused_kernel(
     root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
     cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
     cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
-    tmax0 = jnp.minimum(tmax_in, cap)
-    tile_tmax = jnp.max(tmax0)
+    tile_tmax = jnp.max(jnp.minimum(tmax_in, cap))
+    # One relayout into the walk's column shape.
+    tmax0 = jnp.minimum(tmax_in, cap).reshape(ts, 1)
 
     # ---- In-kernel cull: entry-bound grid over all clusters ----
     row_io = jax.lax.broadcasted_iota(i32, (8, nc8), 0)
@@ -158,7 +155,8 @@ def _fused_kernel(
     valid_col = flat_io < nc  # padding columns are never feasible
 
     def tile_bounds(m):
-        """Origin AABB + direction interval box over the rays in mask ``m``."""
+        """Origin AABB + direction interval box over the rays in mask ``m``
+        ((1, TS) lane-major — see the prologue layout note)."""
         mbig = jnp.where(m, f32(0.0), f32(INF))
 
         def bmin(a):
@@ -168,10 +166,10 @@ def _fused_kernel(
             return jnp.max(jnp.where(m, a, f32(0.0)) - mbig)
 
         any_m = jnp.max(m.astype(f32)) > 0.0
-        om = [jnp.where(any_m, bmin(a), f32(0.0)) for a in (ox, oy, oz)]
-        oM = [jnp.where(any_m, bmax(a), f32(0.0)) for a in (ox, oy, oz)]
-        dm = [jnp.where(any_m, bmin(a), f32(1.0)) for a in (dx, dy, dz)]
-        dM = [jnp.where(any_m, bmax(a), f32(1.0)) for a in (dx, dy, dz)]
+        om = [jnp.where(any_m, bmin(a), f32(0.0)) for a in (oxr, oyr, ozr)]
+        oM = [jnp.where(any_m, bmax(a), f32(0.0)) for a in (oxr, oyr, ozr)]
+        dm = [jnp.where(any_m, bmin(a), f32(1.0)) for a in (dxr, dyr, dzr)]
+        dM = [jnp.where(any_m, bmax(a), f32(1.0)) for a in (dxr, dyr, dzr)]
         return om, oM, dm, dM, any_m
 
     def entry_grid(m, wcap):
@@ -376,14 +374,21 @@ def _fused_kernel(
             t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
             t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
         viable_r = (
-            ~resolved & finite & (t_en <= t_ex) & (t_ex >= 0.0)
+            ~resolved & (t_en <= t_ex) & (t_ex >= 0.0)
             & (t_en < jnp.minimum(best_t, tmax0))
         )
         return jnp.max(viable_r.astype(f32)) > 0.0
 
     bt_ref[:, :] = tmax0
     bc_ref[:, :] = jnp.full((ts, 1), -1, i32)
-    rs_ref[:, :] = (~finite | (tmax0 <= 0.0)).astype(f32)
+    # Non-finite rays have cap == 0 => tmax0 <= 0 covers them, except a
+    # non-finite tmax_in propagates NaN — fold both into the resolved init
+    # (NaN slab math in slab_viable is also caught by ~resolved).
+    fin_c = (
+        jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
+        & jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz)
+    )
+    rs_ref[:, :] = (~fin_c | ~(tmax0 > 0.0)).astype(f32)
 
     def body(state):
         i, cur_v = state
@@ -445,7 +450,8 @@ def _fused_kernel(
                 # Consumed clusters stay consumed (``done``).
                 wcap = jnp.max(jnp.where(
                     ~resolved, jnp.minimum(best_t, tmax0), f32(-INF)))
-                grid = entry_grid(finite & ~resolved, wcap)
+                unresolved_r = rs_ref[:, :].reshape(1, ts) <= 0.0
+                grid = entry_grid(finite & unresolved_r, wcap)
                 ent[:, :] = jnp.where(done[:, :] > 0.0, INF, grid)
 
         # Refill this group with the next K picks (to be tested at i+NG).
@@ -489,7 +495,7 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
                 any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
                 has_ignore: bool = True, mxu: bool = False,
                 mxu_precision: str = "highest",
-                recull_every: int = 6, pretest: bool = True,
+                recull_every: int = 0, pretest: bool = False,
                 max_trips: int = 0, interpret: bool = False):
     """Run the fused kernel over (NT, ROWS, TS) packed ray tiles.
 
@@ -575,8 +581,8 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ignore_mesh=None, cull: bool = True,
                       tile_size: int = 256, t_max=None,
                       any_hit: bool = False, chunk_k: int = 1,
-                      ngrp: int = NGRP, mxu=None, recull_every: int = 6,
-                      pretest: bool = True, return_iters: bool = False,
+                      ngrp: int = NGRP, mxu=None, recull_every: int = 0,
+                      pretest: bool = False, return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
 
@@ -592,7 +598,12 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         interpret = _default_interpret()
     cl = scene.clusters
     if mxu is None:
-        mxu = "gblock" in cl
+        # Hardware sweep (tools/kernsweep.py, v5e): the VPU triple-product
+        # path runs 1.15us/cluster-trip vs 1.99 for the HIGHEST-precision
+        # (x6-pass) MXU matmul; DEFAULT bf16 flips 48% of winners.  The
+        # matmul only pays off once K=16 is amortized better — keep the
+        # gblock bake, but default to the VPU path.
+        mxu = False
     csize = cl["block"].shape[2]
     if not interpret and csize % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; small test clusters

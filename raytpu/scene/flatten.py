@@ -34,7 +34,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
                   pad_tris_to: Optional[int] = None,
                   build_octree: bool = True, leaf_threshold: int = 50,
                   max_depth: int = 12, build_clusters: bool = True,
-                  cluster_size: int = 128) -> FlatScene:
+                  cluster_size: int = 128,
+                  cluster_method: str = "median") -> FlatScene:
     tri_v = []
     tri_n = []
     tri_uv = []
@@ -111,7 +112,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
     if build_clusters:
         from raytpu.accel.clusters import build_clusters as _build_clusters
 
-        clusters = _build_clusters(v, cluster_size=cluster_size)
+        clusters = _build_clusters(v, cluster_size=cluster_size,
+                                   method=cluster_method)
 
     pad_to = pad_tris_to or num_tris
     if pad_to < num_tris:

@@ -121,7 +121,8 @@ class Scene:
     def flatten(self, max_lights: int = 4, pad_tris_to: Optional[int] = None,
                 build_octree: bool = True, leaf_threshold: int = 50,
                 max_depth: int = 12, build_clusters: bool = True,
-                cluster_size: int = 128) -> "FlatScene":
+                cluster_size: int = 128,
+                cluster_method: str = "median") -> "FlatScene":
         from raytpu.scene.flatten import flatten_scene
 
         return flatten_scene(
@@ -133,6 +134,7 @@ class Scene:
             max_depth=max_depth,
             build_clusters=build_clusters,
             cluster_size=cluster_size,
+            cluster_method=cluster_method,
         )
 
 

@@ -243,7 +243,7 @@ class TestPallasDispatcher:
         from raytpu.kernels.dispatch import nearest_hit_pallas
 
         flat = _z_quad_stack_scene(6).flatten(
-            build_octree=False, cluster_size=2
+            build_octree=False, cluster_size=2, cluster_method="morton"
         )
         assert flat.clusters["cluster_min"].shape[0] == 6
         # Ray straight down -z from beyond the far quad: hits z=5 first.

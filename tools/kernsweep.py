@@ -37,6 +37,15 @@ CONFIGS = {
     "vpu-b12": (False, None, False, 6, 256, 12),
 }
 
+# (mxu, precision, pretest, recull, ts, max_trips, ngrp)
+CONFIGS = {k: v + (4,) for k, v in CONFIGS.items()}
+CONFIGS.update({
+    "vpu-g2": (False, None, False, 0, 256, 0, 2),
+    "vpu-g3": (False, None, False, 0, 256, 0, 3),
+    "vpu-ts512g2": (False, None, False, 0, 512, 0, 2),
+    "vpu-ts1024g2": (False, None, False, 0, 1024, 0, 2),
+})
+
 
 def pack(origin, direction, ts):
     import jax
@@ -91,19 +100,19 @@ def main():
     packs = {}
     ref_bt = None
     for name in args.configs.split(","):
-        mxu, prec, pretest, recull, ts, max_trips = CONFIGS[name]
+        mxu, prec, pretest, recull, ts, max_trips, ngrp = CONFIGS[name]
         if ts not in packs:
             perm = block_order_perm(args.res, args.res, int(ts ** 0.5))
             packs[ts] = pack(jax.device_put(origin[perm]),
                              jax.device_put(direction[perm]), ts)
         packed = packs[ts]
         fn = jax.jit(lambda p_, a, ro, b, mxu=mxu, prec=prec,
-                     pretest=pretest, recull=recull, mt=max_trips:
-                     fused_mod.fused_tiles(
+                     pretest=pretest, recull=recull, mt=max_trips,
+                     ng=ngrp: fused_mod.fused_tiles(
                          p_, a, ro, b, has_ignore=False, mxu=mxu,
                          mxu_precision=prec or "highest",
                          pretest=pretest, recull_every=recull,
-                         max_trips=mt))
+                         max_trips=mt, ngrp=ng))
         block = cl["gblock" if mxu else "block"]
         t0 = time.perf_counter()
         bt, code, res, iters = fn(packed, cl["aabb"], cl["root"], block)
