@@ -70,10 +70,16 @@ class ClusterTable:
     def num_clusters(self) -> int:
         return self.cluster_min.shape[0]
 
-    def as_device_arrays(self, tri_v1, tri_e1, tri_e2, tri_snormal, tri_mesh):
+    def as_device_arrays(self, tri_v1, tri_e1, tri_e2, tri_snormal, tri_mesh,
+                         build_gblock: bool = False):
         """Device dict: cluster AABBs + triangle geometry permuted into Morton
         order (slot -> original id in ``tri_id``; padding slots are degenerate
-        triangles with ``tri_id == -1`` that can never be hit)."""
+        triangles with ``tri_id == -1`` that can never be hit).
+
+        ``build_gblock``: also bake the MXU-path coefficient table (4x the
+        geometry HBM; only read by kernels/fused.py with ``mxu=True``, which
+        measured slower than the VPU path on v5e — opt-in so default scenes
+        pay nothing for it)."""
         import jax.numpy as jnp
 
         safe = np.maximum(self.order, 0)
@@ -145,27 +151,29 @@ class ClusterTable:
         #   vdet = d.M2  + w.E1      (rows 0-2 = M2,  3-5 = e1)
         #   tdet = -o.N  + c0         (rows 6-8 = -N,  row 9 = c0)
         # Row 16 carries [tid | tmesh | 0 | 0] as i32 bits.
-        gblock = np.zeros((24, 4 * c, nc), np.float32)
+        gblock = None
+        if build_gblock:
+            gblock = np.zeros((24, 4 * c, nc), np.float32)
 
-        def gcol(q, rows3, vals):  # vals (T, 3) -> rows3 of column block q
+            def gcol(q, rows3, vals):  # vals (T, 3) -> rows3 of col block q
+                for k3 in range(3):
+                    gblock[rows3 + k3, q * c:(q + 1) * c] = (
+                        vals[:, k3].reshape(nc, c).transpose(1, 0))
+
+            gcol(0, 0, nrm)
+            gcol(1, 0, m1n)
+            gcol(1, 3, -e2h)
+            gcol(2, 0, m2)
+            gcol(2, 3, e1h)
+            gcol(3, 6, -nrm)
+            gblock[9, 3 * c:4 * c] = c0.reshape(nc, c).transpose(1, 0)
+            gblock[16, 0:c] = tri_id.reshape(nc, c).view(np.float32).T
+            gblock[16, c:2 * c] = mesh.reshape(nc, c).view(np.float32).T
+            # Rows 18-23: cluster AABB replicated across lanes (see block).
             for k3 in range(3):
-                gblock[rows3 + k3, q * c:(q + 1) * c] = (
-                    vals[:, k3].reshape(nc, c).transpose(1, 0))
-
-        gcol(0, 0, nrm)
-        gcol(1, 0, m1n)
-        gcol(1, 3, -e2h)
-        gcol(2, 0, m2)
-        gcol(2, 3, e1h)
-        gcol(3, 6, -nrm)
-        gblock[9, 3 * c:4 * c] = c0.reshape(nc, c).transpose(1, 0)
-        gblock[16, 0:c] = tri_id.reshape(nc, c).view(np.float32).T
-        gblock[16, c:2 * c] = mesh.reshape(nc, c).view(np.float32).T
-        # Rows 18-23: cluster AABB replicated across lanes (see block above).
-        for k3 in range(3):
-            gblock[18 + k3] = mn_c[:, k3:k3 + 1].T
-            gblock[21 + k3] = mx_c[:, k3:k3 + 1].T
-        gblock = np.ascontiguousarray(gblock.transpose(2, 0, 1))
+                gblock[18 + k3] = mn_c[:, k3:k3 + 1].T
+                gblock[21 + k3] = mx_c[:, k3:k3 + 1].T
+            gblock = np.ascontiguousarray(gblock.transpose(2, 0, 1))
 
         # Fused-kernel cull tables (kernels/fused.py): cluster AABB planes
         # laid out (6, 8, NC8) with cluster j at (j // NC8, j % NC8) — 8
@@ -198,7 +206,7 @@ class ClusterTable:
         slotgeo[:, 6:9] = e2h
         slotgeo[:, 9] = tri_id.view(np.float32)
 
-        return {
+        out = {
             "cluster_min": jnp.asarray(self.cluster_min),
             "cluster_max": jnp.asarray(self.cluster_max),
             "aabb": jnp.asarray(aabb),
@@ -212,9 +220,11 @@ class ClusterTable:
             "tri_snormal": perm(tri_snormal),
             "tri_mesh": jnp.asarray(mesh),
             "block": jnp.asarray(block),
-            "gblock": jnp.asarray(gblock),
             "slotgeo": jnp.asarray(slotgeo),
         }
+        if gblock is not None:
+            out["gblock"] = jnp.asarray(gblock)
+        return out
 
 
 def _median_split_leaves(centroids: np.ndarray, idx: np.ndarray,
@@ -228,22 +238,39 @@ def _median_split_leaves(centroids: np.ndarray, idx: np.ndarray,
     ~5-7x wider per axis on the 1M-tri bench terrain (a 0.6x0.6 beam
     column overlapped a median of 34 Morton clusters vs ~4-9 spatial
     patches) — which is exactly the number of front-to-back trips the
-    fused kernel's walk has to make per tile."""
-    segments = [idx]
+    fused kernel's walk has to make per tile.
+
+    The split point is the multiple of ``cluster_size`` nearest the median,
+    so leaves pack full (plain halving strands ~cluster_size/2 triangles in
+    every leaf when T sits just above cluster_size * 2^k, inflating the
+    cluster count, HBM tables and walk trips by up to ~2x).
+
+    Splits operate on *positions* into ``centroids``/``idx`` (0..len-1) and
+    map back through ``idx`` at the end, so a ``valid`` mask with holes
+    (compact ``centroids``, non-contiguous ``idx``) is handled correctly.
+    """
+    n = idx.shape[0]
+    segments = [np.arange(n, dtype=np.int64)]
     leaves = []
     while segments:
         nxt = []
         for seg in segments:
             if seg.shape[0] <= cluster_size:
-                leaves.append(seg)
+                leaves.append(idx[seg])
                 continue
             c = centroids[seg]
             ext = c.max(axis=0) - c.min(axis=0)
             axis = int(np.argmax(ext))
+            # Nearest multiple of cluster_size to the median, clamped to a
+            # proper split — left children stay exact multiples all the way
+            # down, so every leaf except per-subtree remainders holds
+            # exactly cluster_size triangles.
             half = seg.shape[0] // 2
-            part = np.argpartition(c[:, axis], half)
-            nxt.append(seg[part[:half]])
-            nxt.append(seg[part[half:]])
+            m = int(round(half / cluster_size)) * cluster_size
+            m = min(max(m, cluster_size), seg.shape[0] - 1)
+            part = np.argpartition(c[:, axis], m)
+            nxt.append(seg[part[:m]])
+            nxt.append(seg[part[m:]])
         segments = nxt
     return leaves
 

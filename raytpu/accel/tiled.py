@@ -87,44 +87,6 @@ def cull_clusters(o_min, o_max, d_min, d_max, cl_min, cl_max):
     return mask, jnp.where(mask, t_lo, INF)
 
 
-def select_candidates(mask, entry, maxc: int):
-    """Front-to-back candidate clusters per tile (first ``maxc`` by index).
-
-    Compacts the masked clusters via cumsum + vectorized binary search, then
-    sorts only the compacted (NT, maxc) block by entry bound.  Equivalent to
-    ``top_k(-entry, maxc)`` (which compiles and runs pathologically at
-    NC ~ 10^4) ONLY when ``counts_raw <= maxc``; on overflow the result is
-    the first ``maxc`` masked clusters *by cluster index*, which need not be
-    the nearest — overflowed tiles must therefore always take the exact
-    overflow tail (kernels/dispatch.py), regardless of how early the kernel
-    settled.
-
-    Returns ``(keys, cand, counts_raw)``: ascending entry bounds (INF
-    padding), their cluster ids, and the *uncapped* per-tile candidate
-    count (callers cap with ``min(counts_raw, maxc)`` and use the overflow
-    tail when it exceeds ``maxc``).
-    """
-    nt, nc = entry.shape
-    counts_raw = jnp.sum(mask, axis=1)
-    cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
-    # compact[j] = index of the (j+1)-th masked cluster = first i with
-    # cum[i] == j+1 (cum is nondecreasing): branchless binary search.
-    target = jnp.arange(1, maxc + 1, dtype=jnp.int32)[None, :]
-    lo = jnp.zeros((nt, maxc), jnp.int32)
-    hi = jnp.full((nt, maxc), nc - 1, jnp.int32)
-    steps = max(1, (nc - 1).bit_length())
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        go = jnp.take_along_axis(cum, mid, axis=1) < target
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
-    cand = jnp.minimum(lo, nc - 1).astype(jnp.int32)
-    valid = target <= counts_raw[:, None]
-    keys = jnp.where(valid, jnp.take_along_axis(entry, cand, axis=1), INF)
-    keys, cand = jax.lax.sort_key_val(keys, cand)
-    return keys, cand, counts_raw
-
-
 def _pad_to_tiles(a, tile, fill):
     n = a.shape[0]
     pad = (-n) % tile
@@ -216,8 +178,7 @@ def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
     All tiles advance together; a tile's lanes stop updating once it is done
     (exhausted candidates or settled: every ray's best <= next entry bound).
     ``init`` is the (done, best_t, best_u, best_v, best_tri) starting state —
-    the Pallas dispatcher continues from its kernel results at chunk
-    ``start`` for overflowed tiles (kernels/dispatch.py).
+    ``start`` lets a caller resume mid-scan from a previous partial result.
 
     ``any_hit`` (occlusion queries): a tile settles once every ray either
     found *some* hit inside its bound ``tmax0`` or is provably clear (next

@@ -237,8 +237,9 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
 def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
                 cull: bool = True, intersector="auto", block: int = 2048,
                 brute_force_max_tris: int = 4096, cull_tile: int = 256,
-                cull_chunk: int = 1, cull_maxc: int = 128, t_max=None,
-                any_hit: bool = False) -> Hit:
+                cull_chunk: int = 1, t_max=None,
+                any_hit: bool = False, cull_pretest: bool = True,
+                cull_recull: int = 6, cull_phase1: int = 0) -> Hit:
     """Dispatch by configured intersector (config.Intersector).
 
     ``any_hit``: occlusion-query mode — the hit/no-hit boolean (against
@@ -299,6 +300,7 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
         return nearest_hit_fused(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             tile_size=cull_tile, chunk_k=cull_chunk, t_max=t_max,
-            any_hit=any_hit,
+            any_hit=any_hit, pretest=cull_pretest, recull_every=cull_recull,
+            phase1_trips=cull_phase1,
         )
     raise ValueError(mode)

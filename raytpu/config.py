@@ -92,11 +92,18 @@ class RenderConfig:
     # shape efficiency on v5e (measured optimum at 1M tris).
     cull_tile: int = 256
     cull_chunk: int = 1
-    # Max candidate clusters per tile handed to the Pallas kernel; tiles
-    # with more candidates continue in the exact XLA tail
-    # (kernels/dispatch.py) - correct but slow, so size this above the
-    # typical per-tile candidate count.
-    cull_maxc: int = 256
+    # Fused-kernel walk controls (kernels/fused.py).  ``cull_pretest``: a
+    # per-ray lane-major slab test skips a picked cluster's whole
+    # Möller–Trumbore pass when no unresolved ray can improve on it
+    # (exact).  ``cull_recull``: every N walk trips the entry grid is
+    # rebuilt from the unresolved beam only (0 = never).  ``cull_phase1``:
+    # two-phase compaction — phase 1 walks every tile on this trip budget,
+    # unresolved rays are compacted into fresh narrow tiles and finished by
+    # an unbudgeted phase 2 (0 = single phase).  All three are exact; they
+    # only change how much conservative overtesting the lockstep tile pays.
+    cull_pretest: bool = True
+    cull_recull: int = 6
+    cull_phase1: int = 0
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
     # pixel gradients flow to geometry/normals/UVs/materials/texels through

@@ -144,9 +144,10 @@ def _fused_kernel(
     root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
     cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
     cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
-    tile_tmax = jnp.max(jnp.minimum(tmax_in, cap))
+    tmax_lm = jnp.minimum(tmax_in, cap)  # (1, TS) lane-major
+    tile_tmax = jnp.max(tmax_lm)
     # One relayout into the walk's column shape.
-    tmax0 = jnp.minimum(tmax_in, cap).reshape(ts, 1)
+    tmax0 = tmax_lm.reshape(ts, 1)
 
     # ---- In-kernel cull: entry-bound grid over all clusters ----
     row_io = jax.lax.broadcasted_iota(i32, (8, nc8), 0)
@@ -348,35 +349,38 @@ def _fused_kernel(
         code = k_i * c + lane_row  # (1, C)
         return dist, code
 
-    # Per-ray reciprocal directions, hoisted for the slab pretest.
-    inv_d = [1.0 / jnp.where(dk == 0.0, f32(1e-30), dk)
-             for dk in (dx, dy, dz)]
-    o_xyz = (ox, oy, oz)
+    # Per-ray reciprocal directions for the slab pretest, hoisted — in
+    # LANE-MAJOR (1, TS) layout: a (TS, 1) f32 vector occupies TS/8 vregs
+    # at 1/128 lane utilization, so a (TS, 1) slab test costs nearly as
+    # much as the full (TS, C) Möller–Trumbore pass it is meant to skip;
+    # the same test on (1, TS) is ~16x cheaper (see the prologue note).
+    inv_d_lm = [1.0 / jnp.where(dk == 0.0, f32(1e-30), dk)
+                for dk in (dxr, dyr, dzr)]
+    o_lm = (oxr, oyr, ozr)
 
-    def slab_viable(g, best_t, resolved):
+    def slab_viable(g, cap_lm):
         """Scalar: can this cluster improve any unresolved ray's best?
 
         Exact per-ray slab test against the cluster's own AABB (rows 18-23
-        of the DMA'd block, margin-expanded), ~40 (TS, 1) VPU ops — 200x
-        cheaper than the (TS, C) Möller–Trumbore pass it can skip.  The
+        of the DMA'd block, margin-expanded), ~36 lane-major (1, TS) VPU
+        ops — ~6% of the (TS, C) Möller–Trumbore pass it can skip.  The
         tile-level cull is conservative over the whole beam, so many walked
         clusters intersect *no* individual ray, and once best_t tightens,
         clusters behind every unresolved ray's hit cannot improve either.
         Skipping is exact: a skipped cluster has no triangle hit closer
-        than best_t for any unresolved ray, and resolved rays are final."""
-        t_en = jnp.full((ts, 1), -INF, f32)
-        t_ex = jnp.full((ts, 1), INF, f32)
+        than best_t for any unresolved ray, and resolved rays are final.
+        ``cap_lm`` (1, TS): -INF for resolved rays, min(best_t, tmax)
+        otherwise.  NaN (dead) lanes compare false throughout."""
+        t_en = jnp.full((1, ts), -INF, f32)
+        t_ex = jnp.full((1, ts), INF, f32)
         for k in range(3):
             mn_k = jnp.max(g[18 + k:19 + k, :]) - margin
             mx_k = jnp.max(g[21 + k:22 + k, :]) + margin
-            t1 = (mn_k - o_xyz[k]) * inv_d[k]
-            t2 = (mx_k - o_xyz[k]) * inv_d[k]
+            t1 = (mn_k - o_lm[k]) * inv_d_lm[k]
+            t2 = (mx_k - o_lm[k]) * inv_d_lm[k]
             t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
             t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
-        viable_r = (
-            ~resolved & (t_en <= t_ex) & (t_ex >= 0.0)
-            & (t_en < jnp.minimum(best_t, tmax0))
-        )
+        viable_r = (t_en <= t_ex) & (t_ex >= 0.0) & (t_en < cap_lm)
         return jnp.max(viable_r.astype(f32)) > 0.0
 
     bt_ref[:, :] = tmax0
@@ -400,6 +404,15 @@ def _fused_kernel(
         # skipped outright when no unresolved ray can improve.
         for j in range(kc):
             wait_dma(grp * kc + j, qk[grp * kc + j])
+        if pretest:
+            # One relayout per trip into lane-major; per-slot caps within a
+            # trip are then 2-vreg ops.  Using the trip-entry best_t for
+            # every slot of the trip is conservative (it only ever skips
+            # less than a per-slot refresh would) — still exact.
+            bt_lm = bt_ref[:, :].reshape(1, ts)
+            res_lm = rs_ref[:, :].reshape(1, ts)
+            cap_lm = jnp.where(res_lm > 0.0, -INF,
+                               jnp.minimum(bt_lm, tmax_lm))
         for j in range(kc):
             g = buf[grp * kc + j]
 
@@ -417,8 +430,7 @@ def _fused_kernel(
                 bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
 
             if pretest:
-                resolved = rs_ref[:, :] > 0.0
-                pl.when(slab_viable(g, bt_ref[:, :], resolved))(do_test)
+                pl.when(slab_viable(g, cap_lm))(do_test)
             else:
                 do_test()
 
@@ -501,9 +513,12 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
 
     ``aabb``: (6, 8, NC8) cluster AABB planes; ``root``: (1, 8) root box +
     margin; ``block``: (NC, 24, C) packed geometry; ``chunk_k``: clusters
-    tested per loop trip (overhead amortization only — results are
-    identical for any value).  Returns (best_t (NT, TS), code (NT, TS),
-    iters (NT,) loop trips).
+    tested per loop trip (overhead amortization — hit distances are
+    identical for any value; exact-tie winners *across clusters within one
+    trip* resolve by pick order under the per-slot strict-min update, so
+    chunk_k can change which equidistant triangle wins).  Returns
+    (best_t (NT, TS), code (NT, TS), resolved (NT, TS) 0/1, iters (NT,)
+    loop trips).
     """
     nt, _, ts = rays_packed.shape
     nc = block.shape[0]
@@ -577,12 +592,45 @@ def _pad_rows(a, tile, fill):
     return a
 
 
+def _pack_rays(o, d, itri, imesh, tmax, nt, ts):
+    """Pack padded flat ray arrays into the kernel's (NT, ROWS, TS) tiles."""
+    f32 = jnp.float32
+    bits = lambda a: jax.lax.bitcast_convert_type(a, f32)
+    packed = jnp.stack(
+        [
+            o[:, 0], o[:, 1], o[:, 2],
+            d[:, 0], d[:, 1], d[:, 2],
+            tmax, bits(itri), bits(imesh),
+        ]
+        + [jnp.zeros((nt * ts,), f32)] * (ROWS - 9),
+        axis=0,
+    )  # (ROWS, R)
+    return packed.reshape(ROWS, nt, ts).transpose(1, 0, 2)
+
+
+def _compact_order(resolved):
+    """Stable permutation putting unresolved rays first.
+
+    ``order[j]`` = source index of sorted slot ``j``.  Cumsum-based stable
+    partition — O(R) instead of a full device sort."""
+    i32 = jnp.int32
+    res = resolved.astype(i32)
+    n_unres = jnp.sum(1 - res)
+    pos_u = jnp.cumsum(1 - res) - 1
+    pos_r = n_unres + jnp.cumsum(res) - 1
+    dest = jnp.where(resolved, pos_r, pos_u)
+    order = jnp.zeros_like(dest).at[dest].set(
+        jnp.arange(dest.shape[0], dtype=i32))
+    return order
+
+
 def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ignore_mesh=None, cull: bool = True,
                       tile_size: int = 256, t_max=None,
                       any_hit: bool = False, chunk_k: int = 1,
                       ngrp: int = NGRP, mxu=None, recull_every: int = 0,
-                      pretest: bool = False, return_iters: bool = False,
+                      pretest: bool = False, phase1_trips: int = 0,
+                      return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
 
@@ -593,7 +641,17 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     matmul may round differently from the elementwise chain at triangle
     edges (sub-1e-6 relative), which can flip strictly edge-grazing pairs —
     the (u, v, t) returned for the winner are recomputed exactly either
-    way."""
+    way.
+
+    ``phase1_trips`` > 0 enables the two-phase compaction driver: phase 1
+    walks every tile on a trip budget, then the rays it could not
+    individually resolve (the lockstep-tile tail — a handful of deep rays
+    forcing a whole tile to keep walking) are stably compacted to the
+    front, re-tiled into *narrow* beams of survivors only, and finished by
+    an unbudgeted phase 2 whose per-ray t_max is phase 1's best-so-far.
+    Exact: phase 1 bests are true candidate hits, phase 2 proves or
+    strictly improves them (ties keep phase 1's earlier-entry winner,
+    matching the single-phase walk's pick order)."""
     if interpret is None:
         interpret = _default_interpret()
     cl = scene.clusters
@@ -601,9 +659,13 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         # Hardware sweep (tools/kernsweep.py, v5e): the VPU triple-product
         # path runs 1.15us/cluster-trip vs 1.99 for the HIGHEST-precision
         # (x6-pass) MXU matmul; DEFAULT bf16 flips 48% of winners.  The
-        # matmul only pays off once K=16 is amortized better — keep the
-        # gblock bake, but default to the VPU path.
+        # matmul only pays off once K=16 is amortized better — default to
+        # the VPU path (the gblock bake is opt-in, scene.flatten).
         mxu = False
+    if mxu and "gblock" not in cl:
+        raise ValueError(
+            "mxu=True requires the gblock bake: flatten the scene with "
+            "build_gblock=True")
     csize = cl["block"].shape[2]
     if not interpret and csize % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; small test clusters
@@ -635,26 +697,44 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     tmax = _pad_rows(t_max.astype(f32), ts, 0.0)
     nt = o.shape[0] // ts
 
-    bits = lambda a: jax.lax.bitcast_convert_type(a, f32)
-    packed = jnp.stack(
-        [
-            o[:, 0], o[:, 1], o[:, 2],
-            d[:, 0], d[:, 1], d[:, 2],
-            tmax, bits(itri), bits(imesh),
-        ]
-        + [jnp.zeros((nt * ts,), f32)] * (ROWS - 9),
-        axis=0,
-    )  # (ROWS, R)
-    packed = packed.reshape(ROWS, nt, ts).transpose(1, 0, 2)
+    packed = _pack_rays(o, d, itri, imesh, tmax, nt, ts)
 
+    kw = dict(cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
+              has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
+              pretest=pretest, interpret=interpret)
     best_t, code, _res, _iters = fused_tiles(
         packed, cl["aabb"], cl["root"], cl["gblock" if mxu else "block"],
-        cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
-        has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
-        pretest=pretest, interpret=interpret,
+        max_trips=phase1_trips, **kw,
     )
+    if phase1_trips > 0:
+        rp = nt * ts
+        bt1 = best_t.reshape(rp)
+        code1 = code.reshape(rp)
+        res1 = _res.reshape(rp) > 0
+        order = _compact_order(res1)
+        take = lambda a: jnp.take(a, order, axis=0)
+        res_s = take(res1)
+        # Resolved rays ride along as dead lanes (NaN direction): all-dead
+        # tiles build an all-INF entry grid and exit in zero trips.
+        d2 = jnp.where(res_s[:, None], jnp.float32(jnp.nan), take(d))
+        packed2 = _pack_rays(take(o), d2, take(itri), take(imesh),
+                             take(bt1), nt, ts)
+        bt2, code2, _res2, iters2 = fused_tiles(
+            packed2, cl["aabb"], cl["root"],
+            cl["gblock" if mxu else "block"], max_trips=0, **kw,
+        )
+        bt2 = bt2.reshape(rp)
+        code2 = code2.reshape(rp)
+        # Phase 2 ran with t_max = phase 1's best: code2 >= 0 iff strictly
+        # closer, so ties keep phase 1's earlier-entry winner.
+        upd = ~res_s & (code2 >= 0)
+        bt_s = jnp.where(upd, bt2, take(bt1))
+        code_s = jnp.where(upd, code2, take(code1))
+        best_t = jnp.zeros_like(bt_s).at[order].set(bt_s)
+        code = jnp.zeros_like(code_s).at[order].set(code_s)
+        _iters = _iters + iters2
 
-    flat = lambda a: a.reshape(nt * ts)[:r]
+    flat = lambda a: a.reshape(-1)[:r]
     best_t = flat(best_t)
     code = flat(code)
     hit = code >= 0

@@ -115,7 +115,6 @@ def cast_ray_debug(scene, cfg: RenderConfig, origin, direction) -> RayPath:
             brute_force_max_tris=cfg.brute_force_max_tris,
             cull_tile=cfg.cull_tile,
             cull_chunk=cfg.cull_chunk,
-            cull_maxc=cfg.cull_maxc,
         )
         safe = jnp.maximum(hit.tri, 0)
         frag = (scene.tri_v1[safe] + scene.tri_e1[safe] * hit.u[..., None]

@@ -157,7 +157,9 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             brute_force_max_tris=cfg.brute_force_max_tris,
             cull_tile=cfg.cull_tile,
             cull_chunk=cfg.cull_chunk,
-            cull_maxc=cfg.cull_maxc,
+            cull_pretest=cfg.cull_pretest,
+            cull_recull=cfg.cull_recull,
+            cull_phase1=cfg.cull_phase1,
             # Bound the search at the light: occluders beyond it are
             # irrelevant and unoccluded rays stop scanning early.
             t_max=sdist,
@@ -200,7 +202,9 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
         brute_force_max_tris=cfg.brute_force_max_tris,
         cull_tile=cfg.cull_tile,
         cull_chunk=cfg.cull_chunk,
-        cull_maxc=cfg.cull_maxc,
+        cull_pretest=cfg.cull_pretest,
+        cull_recull=cfg.cull_recull,
+        cull_phase1=cfg.cull_phase1,
     )
     soft_vis = None
     if cfg.differentiable:

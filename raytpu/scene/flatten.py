@@ -35,7 +35,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
                   build_octree: bool = True, leaf_threshold: int = 50,
                   max_depth: int = 12, build_clusters: bool = True,
                   cluster_size: int = 128,
-                  cluster_method: str = "median") -> FlatScene:
+                  cluster_method: str = "median",
+                  build_gblock: bool = False) -> FlatScene:
     tri_v = []
     tri_n = []
     tri_uv = []
@@ -207,7 +208,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
             else None
         ),
         clusters=(
-            clusters.as_device_arrays(v[:, 0], e1, e2, snormal, mesh_idx)
+            clusters.as_device_arrays(v[:, 0], e1, e2, snormal, mesh_idx,
+                                      build_gblock=build_gblock)
             if clusters is not None
             else None
         ),

@@ -122,7 +122,8 @@ class Scene:
                 build_octree: bool = True, leaf_threshold: int = 50,
                 max_depth: int = 12, build_clusters: bool = True,
                 cluster_size: int = 128,
-                cluster_method: str = "median") -> "FlatScene":
+                cluster_method: str = "median",
+                build_gblock: bool = False) -> "FlatScene":
         from raytpu.scene.flatten import flatten_scene
 
         return flatten_scene(
@@ -135,6 +136,7 @@ class Scene:
             build_clusters=build_clusters,
             cluster_size=cluster_size,
             cluster_method=cluster_method,
+            build_gblock=build_gblock,
         )
 
 

@@ -196,79 +196,6 @@ def _z_quad_stack_scene(n_quads: int):
     return Scene(objects=[SceneObject(meshes=[mesh])])
 
 
-class TestPallasDispatcher:
-    """Fused Pallas kernel (interpret mode on CPU) vs brute force."""
-
-    @pytest.fixture(scope="class")
-    def flat(self):
-        return sphere_and_plane_scene().flatten(
-            build_octree=False, cluster_size=16
-        )
-
-    def _rays(self, rng, n):
-        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
-        o[:, 1] = np.abs(o[:, 1]) + 0.5
-        d = rng.normal(size=(n, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        return jnp.asarray(o), jnp.asarray(d)
-
-    @pytest.mark.parametrize("cull", [True, False])
-    def test_match_brute(self, flat, rng, cull):
-        from raytpu.accel.traverse import nearest_hit_brute
-        from raytpu.kernels.dispatch import nearest_hit_pallas
-
-        o, d = self._rays(rng, 128)
-        hb = nearest_hit_brute(flat, o, d, cull=cull, block=128)
-        hp = nearest_hit_pallas(flat, o, d, cull=cull, tile_size=32,
-                                interpret=True)
-        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
-        m = np.asarray(hb.hit)
-        # The kernel's triple-product Möller–Trumbore matches the classic
-        # form only up to fp32 rounding (kernels/intersect.py docstring).
-        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hp.t)[m],
-                                   rtol=1e-5)
-        np.testing.assert_array_equal(np.asarray(hb.tri)[m],
-                                      np.asarray(hp.tri)[m])
-
-    def test_overflow_excluded_nearest_cluster(self):
-        """Regression (ADVICE r1): > maxc candidates where the NEAREST
-        cluster has the highest Morton index.
-
-        select_candidates keeps the first ``maxc`` candidates by cluster
-        index, so the nearest (z=5) quad is excluded; the kernel finds z=3
-        and settles after one iteration (iters < maxc).  The overflow tail
-        must still run — gating it on ``iters >= maxc`` returned z=3 here.
-        """
-        from raytpu.accel.traverse import nearest_hit_brute
-        from raytpu.kernels.dispatch import nearest_hit_pallas
-
-        flat = _z_quad_stack_scene(6).flatten(
-            build_octree=False, cluster_size=2, cluster_method="morton"
-        )
-        assert flat.clusters["cluster_min"].shape[0] == 6
-        # Ray straight down -z from beyond the far quad: hits z=5 first.
-        o = jnp.asarray(np.tile([[0.2, 0.1, 10.0]], (8, 1)), jnp.float32)
-        d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (8, 1)), jnp.float32)
-        hp = nearest_hit_pallas(flat, o, d, tile_size=8, maxc=4,
-                                interpret=True)
-        hb = nearest_hit_brute(flat, o, d, block=16)
-        assert np.asarray(hp.hit).all()
-        np.testing.assert_allclose(np.asarray(hp.t), 5.0, rtol=1e-6)
-        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
-
-    def test_any_hit_occlusion_with_tmax(self, flat, rng):
-        from raytpu.accel.traverse import nearest_hit_brute
-        from raytpu.kernels.dispatch import nearest_hit_pallas
-
-        o, d = self._rays(rng, 64)
-        t_max = jnp.full((64,), 18.0, jnp.float32)
-        hb = nearest_hit_brute(flat, o, d, block=128)
-        hp = nearest_hit_pallas(flat, o, d, tile_size=32, t_max=t_max,
-                                any_hit=True, interpret=True)
-        occluded_ref = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
-        np.testing.assert_array_equal(np.asarray(hp.hit), occluded_ref)
-
-
 class TestFusedKernel:
     """Fully-fused Pallas kernel (kernels/fused.py, interpret mode) vs brute.
 
@@ -351,4 +278,107 @@ class TestFusedKernel:
         np.testing.assert_array_equal(np.asarray(hb2.hit), np.asarray(hf.hit))
         m = np.asarray(hb2.hit)
         np.testing.assert_array_equal(np.asarray(hb2.tri)[m],
+                                      np.asarray(hf.tri)[m])
+
+
+class TestFusedKernelFlags:
+    """Every fused-kernel walk control must be exact (kernels/fused.py):
+    ``pretest`` (per-ray slab skip), ``recull_every`` (unresolved-beam
+    entry-grid rebuild), ``chunk_k`` (clusters per trip), ``phase1_trips``
+    (two-phase compaction) and ``mxu`` are all pure walk-shape knobs — hit
+    booleans, distances and winning triangles must match brute force for
+    every combination, including under ``any_hit`` and ignore ids."""
+
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=16, build_gblock=True
+        )
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    @pytest.mark.parametrize(
+        "pretest,recull,chunk_k,phase1",
+        [
+            (True, 0, 1, 0),
+            (False, 2, 1, 0),
+            (True, 2, 1, 0),
+            (False, 0, 3, 0),
+            (True, 3, 2, 0),
+            (False, 0, 1, 2),
+            (True, 2, 1, 2),
+            (True, 2, 2, 1),
+        ],
+    )
+    def test_flag_matrix_matches_brute(self, flat, rng, pretest, recull,
+                                       chunk_k, phase1):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 96)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hf = nearest_hit_fused(flat, o, d, tile_size=32, interpret=True,
+                               pretest=pretest, recull_every=recull,
+                               chunk_k=chunk_k, phase1_trips=phase1)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hf.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hf.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m],
+                                      np.asarray(hf.tri)[m])
+
+    @pytest.mark.parametrize("pretest,recull,phase1",
+                             [(True, 2, 0), (True, 0, 2), (False, 2, 2)])
+    def test_flags_any_hit_with_tmax(self, flat, rng, pretest, recull,
+                                     phase1):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 64)
+        t_max = jnp.full((64,), 18.0, jnp.float32)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hf = nearest_hit_fused(flat, o, d, tile_size=32, t_max=t_max,
+                               any_hit=True, interpret=True, pretest=pretest,
+                               recull_every=recull, phase1_trips=phase1)
+        occluded_ref = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
+        np.testing.assert_array_equal(np.asarray(hf.hit), occluded_ref)
+
+    def test_flags_with_ignore_and_nonfinite(self, flat, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 32)
+        o = o.at[3, 0].set(jnp.nan)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        itri = jnp.where(jnp.arange(32) % 2 == 0, hb.tri, -1).astype(jnp.int32)
+        hb2 = nearest_hit_brute(flat, o, d, ignore_tri=itri, block=128)
+        hf = nearest_hit_fused(flat, o, d, ignore_tri=itri, tile_size=32,
+                               interpret=True, pretest=True, recull_every=2,
+                               phase1_trips=2)
+        assert not bool(hf.hit[3])
+        np.testing.assert_array_equal(np.asarray(hb2.hit), np.asarray(hf.hit))
+        m = np.asarray(hb2.hit)
+        np.testing.assert_array_equal(np.asarray(hb2.tri)[m],
+                                      np.asarray(hf.tri)[m])
+
+    @pytest.mark.parametrize("chunk_k", [1, 2])
+    def test_mxu_matches_brute(self, flat, rng, chunk_k):
+        """MXU coefficient-table path (interpret mode: exact matmul)."""
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 64)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hf = nearest_hit_fused(flat, o, d, tile_size=32, interpret=True,
+                               mxu=True, chunk_k=chunk_k)
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hf.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hf.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m],
                                       np.asarray(hf.tri)[m])

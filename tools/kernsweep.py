@@ -85,9 +85,12 @@ def main():
     p.add_argument("--configs", type=str, default=",".join(CONFIGS))
     args = p.parse_args()
 
+    names = args.configs.split(",")
+    need_gblock = any(CONFIGS[n][0] for n in names)
     t0 = time.perf_counter()
     scene, true_tris = build_scene(args.tris)
-    flat = scene.flatten(build_octree=False, build_clusters=True)
+    flat = scene.flatten(build_octree=False, build_clusters=True,
+                         build_gblock=need_gblock)
     cl = flat.clusters
     print(f"setup {time.perf_counter() - t0:.1f}s tris={true_tris} "
           f"clusters={cl['cluster_min'].shape[0]}", flush=True)
@@ -99,7 +102,7 @@ def main():
 
     packs = {}
     ref_bt = None
-    for name in args.configs.split(","):
+    for name in names:
         mxu, prec, pretest, recull, ts, max_trips, ngrp = CONFIGS[name]
         if ts not in packs:
             perm = block_order_perm(args.res, args.res, int(ts ** 0.5))
