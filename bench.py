@@ -10,8 +10,14 @@ W*H primary rays through the flattened-octree traversal plus W*H shadow
 rays (one light), i.e. rays/frame = 2 * W * H.  The renderer is the same
 jitted wavefront program the framework uses for real renders.
 
+Also times one differentiable-render gradient step (pixel MSE, GEOMETRY
+params — BASELINE's "backward rays/s" metric) at BENCH_BACK_RES (default
+512) and reports it as the ``backward_rays_per_s`` key of the same JSON
+line.
+
 Environment knobs: BENCH_TRIS (default ~1e6), BENCH_RES (default 1024),
-BENCH_REPS (default 4), BENCH_INTERSECTOR (octree|brute|pallas).
+BENCH_REPS (default 4), BENCH_INTERSECTOR (octree|brute|pallas),
+BENCH_BACKWARD (default 1; 0 skips it), BENCH_BACK_RES (default 512).
 """
 
 from __future__ import annotations
@@ -114,20 +120,77 @@ def main():
     rays_per_frame = 2 * res * res  # primary + shadow (1 light)
     rays_per_s = rays_per_frame / best
 
+    backward_rays_per_s = None
+    if os.environ.get("BENCH_BACKWARD", "1") == "1":
+        backward_rays_per_s = bench_backward(flat, cfg, sync)
+
     print(
         f"# device={jax.devices()[0].device_kind} tris={true_tris} "
         f"res={res} backend={backend} setup={setup_s:.1f}s "
         f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
         f"times_ms={[round(t * 1e3, 1) for t in times]} "
-        f"nonblack={hit_frac:.3f}",
+        f"nonblack={hit_frac:.3f} "
+        f"backward={backward_rays_per_s}",
         file=sys.stderr,
     )
-    print(json.dumps({
+    out = {
         "metric": "rays_per_sec_per_chip_1Mtri_primary_shadow",
         "value": round(rays_per_s),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),
-    }))
+    }
+    if backward_rays_per_s is not None:
+        out["backward_rays_per_s"] = round(backward_rays_per_s)
+    print(json.dumps(out))
+
+
+def bench_backward(flat, cfg, sync):
+    """rays/s for one differentiable-render gradient step (pixel MSE,
+    GEOMETRY params) — BASELINE.json's "backward rays/s" metric.
+
+    The target is the scene's own render (zero-ish loss, but the backward
+    work is identical for any target).  Counts primary + shadow rays of the
+    differentiable forward, i.e. the rays whose shading is differentiated.
+    """
+    import dataclasses
+    import time
+
+    import jax
+    import optax
+
+    from raytpu.config import Quantize
+    from raytpu.core.camera import Camera, camera_rays
+    from raytpu.diff.fit import make_fit_step
+    from raytpu.diff.params import GEOMETRY, extract_params
+    from raytpu.render.wavefront import block_order_perm, render_rays
+
+    res_b = int(os.environ.get("BENCH_BACK_RES", 512))
+    reps = int(os.environ.get("BENCH_REPS", 4))
+    cfg_b = dataclasses.replace(cfg, width=res_b, height=res_b,
+                                quantize=Quantize.NONE)
+    camera = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),
+                    aspect=1.0)
+    o, d = camera_rays(camera, res_b, res_b)
+    perm = block_order_perm(res_b, res_b, max(1, int(cfg_b.cull_tile ** 0.5)))
+    o = jax.device_put(o[perm])
+    d = jax.device_put(d[perm])
+    target = jax.jit(lambda s, oo, dd: render_rays(s, cfg_b, oo, dd))(
+        flat, o, d)
+
+    params = extract_params(flat, GEOMETRY)
+    optimizer = optax.sgd(0.0)  # timing only: do not perturb the scene
+    opt_state = optimizer.init(params)
+    step = make_fit_step(flat, cfg_b, optimizer)
+
+    _, _, loss = step(params, opt_state, o, d, target)
+    sync(loss)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, _, loss = step(params, opt_state, o, d, target)
+        sync(loss)
+        times.append(time.perf_counter() - t0)
+    return 2 * res_b * res_b / min(times)
 
 
 if __name__ == "__main__":

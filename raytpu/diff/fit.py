@@ -81,7 +81,7 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
         out_specs=(P(), P(), P()),
     )
     def step(params, opt_state, origin, direction, target):
-        from raytpu.dist.mesh import pvary_tree
+        from raytpu.dist.mesh import hierarchical_pmean, pvary_tree
 
         scene_var = pvary_tree(scene, axes)
         params_var = pvary_tree(params, axes)
@@ -90,8 +90,10 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
         )
         # Gradient all-reduce over ICI(+DCN), overlapped with remaining
         # backward work by XLA; equal shard sizes → psum-mean is the global
-        # gradient of the global mean loss.
-        grads = jax.lax.pmean(grads, axes)
+        # gradient of the global mean loss.  On a 2-D ("hosts", "chips")
+        # mesh this is the hierarchical reduce_scatter-over-chips +
+        # psum-over-hosts form (dist/mesh.py::hierarchical_pmean).
+        grads = hierarchical_pmean(grads, mesh)
         loss = jax.lax.pmean(loss, axes)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

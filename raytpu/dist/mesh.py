@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -55,6 +56,48 @@ def make_mesh(devices: Optional[Sequence] = None,
             raise ValueError("give an explicit shape for >2 mesh axes")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axes)
+
+
+def hierarchical_pmean(tree, mesh: Mesh):
+    """Mean-reduce a shard_map-varying ``tree`` across all mesh axes.
+
+    1-D mesh: one flat ``pmean``.  2-D ``("hosts", "chips")``: the
+    hierarchical all-reduce the mesh docstring promises — ``psum_scatter``
+    over the chip axis (each chip owns 1/chips of the sum, traffic rides
+    ICI), ``psum`` of the small shard across hosts (one DCN crossing at
+    1/chips the bytes of a flat all-reduce), then ``all_gather`` back over
+    chips.  Leaves whose leading dim does not tile over the chip axis fall
+    back to a flat psum (the scatter needs equal shards).
+    """
+    axes = mesh.axis_names
+    if len(axes) == 1:
+        return jax.lax.pmean(tree, axes)
+    hosts_ax, chips_ax = axes
+    nchips = mesh.shape[chips_ax]
+    total = mesh.size
+
+    def red(x):
+        if x.ndim >= 1 and x.shape[0] >= nchips and x.shape[0] % nchips == 0:
+            y = jax.lax.psum_scatter(x, chips_ax, scatter_dimension=0,
+                                     tiled=True)
+            # The DCN stage carries 1/chips of the gradient bytes — the
+            # whole point of the hierarchy.
+            y = jax.lax.psum(y, hosts_ax)
+            # Gather the chip shards back.  Expressed as a one-hot psum
+            # rather than all_gather because shard_map's varying-axis type
+            # system cannot infer replication through all_gather, while
+            # psum's output is invariant by construction.  Same ICI ring
+            # traffic class; the DCN saving above is untouched.
+            idx = jax.lax.axis_index(chips_ax)
+            full = jnp.zeros((nchips,) + y.shape, y.dtype)
+            full = jax.lax.dynamic_update_index_in_dim(full, y, idx, 0)
+            full = jax.lax.psum(full, chips_ax)
+            y = full.reshape(x.shape)
+        else:
+            y = jax.lax.psum(x, axes)
+        return y / total
+
+    return jax.tree.map(red, tree)
 
 
 def ray_axis(mesh: Mesh) -> str:

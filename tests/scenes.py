@@ -55,13 +55,20 @@ def sphere_and_plane_scene(reflect=0.3, transparent=False, textured=False,
     return Scene(objects=objs, lights=lights)
 
 
-def crate_scene():
-    """BASELINE config 1 analog: one textured crate, primary rays."""
+def crate_scene(uv_scale: float = 1.0, uv_offset: float = 0.0):
+    """BASELINE config 1 analog: one textured crate, primary rays.
+
+    ``uv_scale``/``uv_offset`` remap the box's [0,1] face UVs so
+    out-of-range addressing (WRAP negative-side %, MIRROR's C# int-%% sign
+    quirk, CLAMP saturation — Material.cs:96-122) actually fires."""
     mat = Material(reflectiveness=0.0, use_texture=True, texture=checker_texture())
+    crate = box(size=(8.0, 8.0, 8.0), material=mat)
+    if uv_scale != 1.0 or uv_offset != 0.0:
+        crate.uvs = crate.uvs * np.float32(uv_scale) + np.float32(uv_offset)
     return Scene(
         objects=[
             SceneObject(
-                meshes=[box(size=(8.0, 8.0, 8.0), material=mat)],
+                meshes=[crate],
                 position=(0.0, 4.0, 0.0),
                 rotation=(0.0, 0.6, 0.0),
             )

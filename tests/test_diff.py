@@ -184,3 +184,33 @@ def test_fit_checkpoint_resume(tmp_path, crate):
     # Resume: latest checkpoint is step 4 → no further steps run.
     fit(crate, cfg, cam, target, callback=lambda i, l: seen.append(i), **kw)
     assert seen == []
+
+
+def test_sharded_grads_match_single_device_2d_mesh(crate):
+    """Hierarchical reduction (reduce_scatter over chips + psum over hosts,
+    dist/mesh.py::hierarchical_pmean) on a 2-D ("hosts", "chips") mesh must
+    produce the same gradient as one device — including leaves that do not
+    tile over the chip axis (flat-psum fallback)."""
+    cfg = diff_cfg(width=16, height=16)
+    cam = default_camera()
+    o, d = camera_rays(cam, 16, 16)
+    target = jnp.zeros((16 * 16, 3))
+    # GEOMETRY leaves (T, 3) exercise psum_scatter when T % chips == 0 and
+    # the fallback otherwise; MATERIALS leaves are tiny 1-D fallbacks.
+    from raytpu.diff.params import MATERIALS
+
+    params = extract_params(crate, GEOMETRY + MATERIALS)
+
+    g1 = jax.grad(render_loss, argnums=2)(crate, cfg, params, o, d, target)
+
+    mesh = make_mesh(axes=("hosts", "chips"), shape=(2, 4))
+    opt = optax.sgd(1.0)
+    step = make_fit_step(crate, cfg, opt, mesh)
+    new_params, _, loss = step(params, opt.init(params), o, d, target)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(params[k]) - np.asarray(new_params[k]),
+            np.asarray(g1[k]),
+            atol=1e-6,
+        )
+    assert np.isfinite(float(loss))

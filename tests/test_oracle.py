@@ -41,23 +41,23 @@ class TestOracleParity:
         cfg = small_cfg(max_reflections=2, quantize=Quantize.BOUNCE)
         _compare(sphere_and_plane_scene(reflect=0.6), cfg)
 
-    def test_textured_point_wrap(self):
+    @pytest.mark.parametrize("filtering", [TextureFiltering.POINT,
+                                           TextureFiltering.BILINEAR])
+    @pytest.mark.parametrize("address", [UVAddressMode.CLAMP,
+                                         UVAddressMode.WRAP,
+                                         UVAddressMode.MIRROR])
+    def test_textured_matrix(self, filtering, address):
+        """All {POINT, BILINEAR} x {CLAMP, WRAP, MIRROR} combos, with UVs
+        remapped to [-0.75, 1.75] so every out-of-range quirk fires:
+        WRAP's negative-side remainder, MIRROR's C# int-% sign behaviour
+        (Material.cs:115-122), CLAMP saturation."""
         cfg = small_cfg(
             max_reflections=1,
             quantize=Quantize.BOUNCE,
-            filtering=TextureFiltering.POINT,
-            address_mode=UVAddressMode.WRAP,
+            filtering=filtering,
+            address_mode=address,
         )
-        _compare(crate_scene(), cfg)
-
-    def test_textured_bilinear_clamp(self):
-        cfg = small_cfg(
-            max_reflections=0,
-            quantize=Quantize.BOUNCE,
-            filtering=TextureFiltering.BILINEAR,
-            address_mode=UVAddressMode.CLAMP,
-        )
-        _compare(crate_scene(), cfg)
+        _compare(crate_scene(uv_scale=2.5, uv_offset=-0.75), cfg)
 
     def test_transparent_refraction(self):
         cfg = small_cfg(max_reflections=2, quantize=Quantize.BOUNCE)

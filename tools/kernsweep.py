@@ -24,26 +24,27 @@ CONFIGS = {
     # name: (mxu, precision, pretest, recull, ts, max_trips)
     "vpu": (False, None, False, 0, 256, 0),
     "vpu-re6": (False, None, False, 6, 256, 0),
-    "vpu-pre": (False, None, True, 6, 256, 0),
+    "vpu-pre": (False, None, True, 0, 256, 0),
+    "vpu-pre-re6": (False, None, True, 6, 256, 0),
     "mxu-hi": (True, "highest", False, 0, 256, 0),
+    "mxu-hi3": (True, "high", False, 0, 256, 0),
+    "mxu-hi3-pre": (True, "high", True, 0, 256, 0),
     "mxu-def": (True, "default", False, 0, 256, 0),
-    "mxu-def-re6": (True, "default", False, 6, 256, 0),
     "vpu-ts128": (False, None, False, 0, 128, 0),
     "vpu-ts512": (False, None, False, 0, 512, 0),
+    "vpu-ts512-pre": (False, None, True, 0, 512, 0),
     # Budgeted walks: what fraction of rays is individually resolved
     # after B trips?  (Sizes the two-phase compaction driver.)
     "vpu-b4": (False, None, False, 0, 256, 4),
     "vpu-b8": (False, None, False, 0, 256, 8),
-    "vpu-b12": (False, None, False, 6, 256, 12),
+    "vpu-pre-b6": (False, None, True, 0, 256, 6),
 }
 
 # (mxu, precision, pretest, recull, ts, max_trips, ngrp)
 CONFIGS = {k: v + (4,) for k, v in CONFIGS.items()}
 CONFIGS.update({
     "vpu-g2": (False, None, False, 0, 256, 0, 2),
-    "vpu-g3": (False, None, False, 0, 256, 0, 3),
     "vpu-ts512g2": (False, None, False, 0, 512, 0, 2),
-    "vpu-ts1024g2": (False, None, False, 0, 1024, 0, 2),
 })
 
 
@@ -82,6 +83,7 @@ def main():
     p.add_argument("--tris", type=float, default=1e6)
     p.add_argument("--res", type=int, default=1024)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--csize", type=int, default=128)
     p.add_argument("--configs", type=str, default=",".join(CONFIGS))
     args = p.parse_args()
 
@@ -90,7 +92,7 @@ def main():
     t0 = time.perf_counter()
     scene, true_tris = build_scene(args.tris)
     flat = scene.flatten(build_octree=False, build_clusters=True,
-                         build_gblock=need_gblock)
+                         build_gblock=need_gblock, cluster_size=args.csize)
     cl = flat.clusters
     print(f"setup {time.perf_counter() - t0:.1f}s tris={true_tris} "
           f"clusters={cl['cluster_min'].shape[0]}", flush=True)
