@@ -17,9 +17,14 @@ world/inverse pair; rays are transformed per instance, intersected against
 the shared bake, and merged by world-space distance — exactly the
 reference's semantics, vectorized over the ray batch.
 
-Cost model: every instance pays a full intersector pass over the ray batch
-(no scene-level octree pruning — on TPU the per-instance pass IS the
-pruned unit: its cluster cull rejects rays missing the instance cheaply).
+Scene-level pruning (the OctreeSpatialManager.cs:457-482 analog): before
+each instance's pass, every ray runs a slab test against the instance's
+conservative WORLD AABB (the transformed object-bounds corners), bounded by
+its current best world distance.  Rays that provably cannot hit the
+instance closer than their running best enter the pass as dead lanes (NaN
+direction), which every backend excludes from its cull-tile bounds — tiles
+whose rays are all dead settle in zero walk trips, so rays aimed at one
+instance do not pay for the other N-1 beyond a per-tile prologue.
 Use for few instances of heavy meshes; use flatten() baking otherwise.
 """
 
@@ -62,10 +67,55 @@ def _transform_points(p, m):
     return p @ m[:3, :3] + m[3, :3]
 
 
+def instance_world_aabb(bake, world) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conservative world-space AABB of a mesh bake under ``world``.
+
+    Transforms the 8 corners of the object-space bounds (from the cluster
+    table when present, else the triangle vertices) and takes min/max —
+    the standard conservative box of a transformed box."""
+    if getattr(bake, "clusters", None) is not None:
+        mn = bake.clusters["root_min"]
+        mx = bake.clusters["root_max"]
+    else:
+        vs = jnp.concatenate([
+            bake.tri_v1,
+            bake.tri_v1 + bake.tri_e1,
+            bake.tri_v1 + bake.tri_e2,
+        ])
+        mn = jnp.min(vs, axis=0)
+        mx = jnp.max(vs, axis=0)
+    corners = jnp.stack([
+        jnp.where(jnp.asarray([(i >> k) & 1 for k in range(3)], bool), mx, mn)
+        for i in range(8)
+    ])
+    cw = _transform_points(corners, jnp.asarray(world))
+    return jnp.min(cw, axis=0), jnp.max(cw, axis=0)
+
+
+def _prune_mask(origin, direction, mn, mx, cap):
+    """Rays that could still hit inside [mn, mx] closer than ``cap``.
+
+    Conservative slab test with a relative margin; misses and rays whose
+    entry distance already exceeds their running best are pruned exactly
+    (the AABB contains the instance, so no closer hit exists inside)."""
+    margin = 1e-4 * jnp.max(mx - mn) + 1e-5
+    t_en = jnp.full(origin.shape[:1], -INF, jnp.float32)
+    t_ex = jnp.full(origin.shape[:1], INF, jnp.float32)
+    for k in range(3):
+        d = direction[:, k]
+        safe_d = jnp.where(d == 0.0, 1e-30, d)
+        t1 = (mn[k] - margin - origin[:, k]) / safe_d
+        t2 = (mx[k] + margin - origin[:, k]) / safe_d
+        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
+        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
+    return (t_en <= t_ex) & (t_ex >= 0.0) & (t_en < cap)
+
+
 def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
                           origin, direction, t_max=None,
                           ignore_tri=None, ignore_instance=None,
                           intersector: Intersector = Intersector.AUTO,
+                          prune: bool = True, return_stats: bool = False,
                           **kw) -> InstancedHit:
     """Nearest hit of ``origin``/``direction`` (R, 3, world space) over all
     instances, merged by world distance.
@@ -81,6 +131,11 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
     with ``ignore_instance``: per-ray (triangle, instance) to skip — the
     instanced form of the reference's ignoreTriangle (the same mesh's other
     instances must still test that triangle).
+
+    ``prune``: scene-level world-AABB ray pruning (module docstring; the
+    OctreeSpatialManager.cs:457-482 analog) — exact, on by default.
+    ``return_stats``: also return a (num_instances,) array of live-ray
+    counts per instance pass (pruning observability; used by tests).
     """
     origin = jnp.asarray(origin, jnp.float32)
     direction = jnp.asarray(direction, jnp.float32)
@@ -95,6 +150,7 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
         instance=jnp.full((r,), -1, jnp.int32),
     )
 
+    stats = []
     for idx, inst in enumerate(instances):
         bake = mesh_bakes[inst.mesh_index]
         inv = jnp.asarray(inst.inv_world)
@@ -107,6 +163,22 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
         d_obj = p2_obj - o_obj
         norm = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
         d_obj = d_obj / jnp.where(norm == 0, 1.0, norm)
+
+        if prune:
+            # Scene-level pruning: rays that provably cannot beat their
+            # running best inside this instance's world AABB enter the
+            # pass as dead lanes (NaN direction — every backend treats
+            # them as settled misses and drops them from tile bounds).
+            mn_w, mx_w = instance_world_aabb(bake, inst.world)
+            cap = best.t_world
+            if t_max is not None:
+                cap = jnp.minimum(cap, jnp.asarray(t_max, jnp.float32))
+            live = _prune_mask(origin, direction, mn_w, mx_w, cap)
+            d_obj = jnp.where(live[:, None], d_obj, jnp.float32(jnp.nan))
+            if return_stats:
+                stats.append(jnp.sum(live))
+        elif return_stats:
+            stats.append(jnp.asarray(r, jnp.int32))
 
         # World t -> object t along the normalized object direction: a world
         # step of 1 maps to |inv_world . d| object units (= norm).
@@ -141,4 +213,6 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
             tri=jnp.where(upd, h.tri, best.tri),
             instance=jnp.where(upd, jnp.int32(idx), best.instance),
         )
+    if return_stats:
+        return best, jnp.stack(stats)
     return best

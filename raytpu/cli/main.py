@@ -124,7 +124,7 @@ def _camera(args, aspect: float):
 
 
 def _config(args):
-    from raytpu.config import Intersector, RenderConfig
+    from raytpu.config import Intersector, RenderConfig, RenderMode
 
     return RenderConfig(
         width=args.width,
@@ -139,6 +139,11 @@ def _config(args):
             "tiled": Intersector.TILED,
             "pallas": Intersector.PALLAS,
         }[args.intersector],
+        render_mode={
+            "shaded": RenderMode.SHADED,
+            "normals": RenderMode.NORMALS,
+            "convex": RenderMode.CONVEXFLAG,
+        }[getattr(args, "render_mode", "shaded")],
     )
 
 
@@ -170,7 +175,8 @@ def cmd_render(args) -> int:
         # The reference's on-screen "N.NN %" overlay (Game1.cs:331-344).
         progress = lambda done, total: print(
             f"\r{100.0 * done / total:6.2f} %", end="", flush=True)
-    img = render_image(flat, cfg, cam, progress=progress)
+    img = render_image(flat, cfg, cam, progress=progress,
+                       watch_path=args.out if args.watch else None)
     if args.progress:
         print()
     write_image(args.out, img)
@@ -306,6 +312,10 @@ def _add_common(p):
     p.add_argument("--obj-scale", type=float, default=1.0)
     p.add_argument("--progress", action="store_true",
                    help="print percent progress (Game1.cs:331-344 overlay)")
+    p.add_argument("--render-mode", default="shaded",
+                   choices=("shaded", "normals", "convex"),
+                   help="diagnostic channels (RayTracer.cs:563-566 "
+                        "DEBUG_NORMALS / DEBUG_CONVEXFLAG)")
 
 
 def main(argv=None) -> int:
@@ -314,6 +324,9 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("render", help="render one frame to PNG")
     _add_common(pr)
+    pr.add_argument("--watch", action="store_true",
+                    help="write the PNG progressively as tiles finish "
+                         "(watch the frame fill in; Game1.cs:389-416)")
 
     pa = sub.add_parser("animate", help="turntable animation -> AVI")
     _add_common(pa)

@@ -44,6 +44,21 @@ class Quantize(enum.IntEnum):
     BOUNCE = 2
 
 
+class RenderMode(enum.IntEnum):
+    """Shaded render or a diagnostic channel (RayTracer.cs:563-566).
+
+    The reference compiles these in with ``#if DEBUG_NORMALS`` /
+    ``DEBUG_CONVEXFLAG``; here they are a runtime switch.  ``NORMALS``
+    renders the fragment normal as color exactly like XNA's
+    ``new Color(fragmentNormal)`` (components clamped to [0, 1], so
+    negative-facing axes render black); ``CONVEXFLAG`` renders green for
+    convex-flagged meshes, red otherwise."""
+
+    SHADED = 0
+    NORMALS = 1
+    CONVEXFLAG = 2
+
+
 class Intersector(enum.IntEnum):
     """Which nearest-hit backend the renderer uses."""
 
@@ -79,6 +94,8 @@ class RenderConfig:
     replicate_lr_bug: bool = False
     quantize: Quantize = Quantize.FINAL
     intersector: Intersector = Intersector.AUTO
+    # Diagnostic render channels (RenderMode docstring).
+    render_mode: RenderMode = RenderMode.SHADED
     # Rays per wavefront tile; the image is rendered tile-by-tile so that
     # refraction doubling (2^depth slots) stays within HBM.
     tile_pixels: int = 16384
@@ -130,4 +147,6 @@ class RenderConfig:
         d["address_mode"] = UVAddressMode[d["address_mode"]]
         d["quantize"] = Quantize[d["quantize"]]
         d["intersector"] = Intersector[d["intersector"]]
+        if "render_mode" in d:
+            d["render_mode"] = RenderMode[d["render_mode"]]
         return RenderConfig(**d)

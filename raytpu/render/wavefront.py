@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from raytpu.accel.traverse import nearest_hit
 from raytpu.core import intersect
-from raytpu.config import Quantize, RenderConfig
+from raytpu.config import Quantize, RenderConfig, RenderMode
 from raytpu.core.camera import Camera, camera_rays, rays_through_screen
 from raytpu.core.math3d import dot, normalize, reflect, refract_xna
 from raytpu.core.xna import quantize_color
@@ -320,6 +320,51 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     return record, children
 
 
+def debug_mode_colors(scene: FlatScene, cfg: RenderConfig, origin, direction):
+    """Diagnostic render channels (RayTracer.cs:563-566).
+
+    One primary nearest-hit, no recursion or lights: ``NORMALS`` clamps the
+    fragment normal into RGB exactly like XNA's ``new Color(Vector3)``
+    (negative components saturate to 0); ``CONVEXFLAG`` paints convex
+    meshes green, the rest red.  Misses stay black."""
+    rays = RaySet(
+        origin=origin,
+        direction=direction,
+        ignore_tri=jnp.full(origin.shape[:1], -1, jnp.int32),
+        ignore_mesh=jnp.full(origin.shape[:1], -1, jnp.int32),
+        cur_ref=jnp.ones(origin.shape[:1], jnp.float32),
+        alive=jnp.ones(origin.shape[:1], bool),
+    )
+    hit = nearest_hit(
+        scene, rays.origin, rays.direction, ignore_tri=rays.ignore_tri,
+        ignore_mesh=rays.ignore_mesh, cull=True,
+        intersector=cfg.intersector, block=cfg.tri_block,
+        brute_force_max_tris=cfg.brute_force_max_tris,
+        cull_tile=cfg.cull_tile, cull_chunk=cfg.cull_chunk,
+        cull_pretest=cfg.cull_pretest, cull_recull=cfg.cull_recull,
+        cull_phase1=cfg.cull_phase1,
+    )
+    td = _gather_tri(scene, hit.tri)
+    mat = scene.mesh_material[td["mesh"]]
+    if cfg.render_mode == RenderMode.NORMALS:
+        interp = scene.mat_interp_normals[mat]
+        n_lerped = normalize(
+            td["n1"]
+            + (td["n2"] - td["n1"]) * hit.u[..., None]
+            + (td["n3"] - td["n1"]) * hit.v[..., None]
+        )
+        normal = jnp.where(interp[..., None], n_lerped, td["snormal"])
+        color = jnp.clip(normal, 0.0, 1.0)
+    elif cfg.render_mode == RenderMode.CONVEXFLAG:
+        convex = scene.mesh_convex[td["mesh"]]
+        green = jnp.asarray([0.0, 128.0 / 255.0, 0.0], jnp.float32)
+        red = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+        color = jnp.where(convex[..., None], green, red)
+    else:
+        raise ValueError(cfg.render_mode)
+    return jnp.where(hit.hit[..., None], color, 0.0)
+
+
 def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
                  alive=None):
     """Batched CastRay: colors for an arbitrary set of primary rays.
@@ -328,6 +373,8 @@ def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
     expansion + backward combine (see module docstring).  Miss = black
     (RayTracer.cs:729-735).
     """
+    if cfg.render_mode != RenderMode.SHADED:
+        return debug_mode_colors(scene, cfg, origin, direction)
     r0 = origin.shape[0]
     rays = RaySet(
         origin=origin,
@@ -418,7 +465,8 @@ def block_order_perm(width: int, height: int, block: int):
 
 
 def render_image(scene: FlatScene, cfg: RenderConfig,
-                 camera: Optional[Camera] = None, progress=None):
+                 camera: Optional[Camera] = None, progress=None,
+                 watch_path: Optional[str] = None, watch_every: int = 4):
     """Full-frame render → (H, W, 3) float32 in [0, 1].
 
     The Render/RenderAsync equivalent (RayTracer.cs:391-428): primary rays
@@ -431,6 +479,11 @@ def render_image(scene: FlatScene, cfg: RenderConfig,
     overlay at Game1.cs:331-341).  When set, tiles are dispatched from a
     host loop (one jitted call per tile batch) so the callback fires as the
     frame advances; without it the whole frame is one ``lax.map`` program.
+
+    ``watch_path``: progressive viewing — write the partial frame (traced
+    tiles filled in, the rest black) to this PNG path every ``watch_every``
+    tile batches, the batch analog of watching the reference's live
+    RenderTarget fill in (Game1.cs:389-416).  Implies the host loop.
     """
     camera = camera or Camera(aspect=cfg.width / cfg.height)
     if cfg.use_multisampling:
@@ -440,17 +493,31 @@ def render_image(scene: FlatScene, cfg: RenderConfig,
     o, d = camera_rays(camera, cfg.width, cfg.height)
     block = max(1, int(cfg.cull_tile ** 0.5))
     perm = block_order_perm(cfg.width, cfg.height, block)
-    if progress is None:
+    if progress is None and watch_path is None:
         colors = render_rays(scene, cfg, o[perm], d[perm])
     else:
         op, dp, n = _pad_rays(o[perm], d[perm], cfg.tile_pixels)
         tiles = op.shape[0] // cfg.tile_pixels
         fn = jax.jit(lambda s, to, td: trace_colors(s, cfg, to, td))
         parts = []
+
+        def partial_image():
+            done = jnp.concatenate(parts) if parts else jnp.zeros((0, 3))
+            fill = jnp.zeros((op.shape[0] - done.shape[0], 3), jnp.float32)
+            cols = jnp.concatenate([done, fill])[:n]
+            img = jnp.zeros_like(cols).at[perm].set(cols)
+            return img.reshape(cfg.height, cfg.width, 3)
+
         for t in range(tiles):
             sl = slice(t * cfg.tile_pixels, (t + 1) * cfg.tile_pixels)
             parts.append(fn(scene, op[sl], dp[sl]))
-            progress(t + 1, tiles)
+            if progress is not None:
+                progress(t + 1, tiles)
+            if watch_path is not None and t + 1 < tiles and (
+                    (t + 1) % watch_every == 0):
+                from raytpu.io.image import write_image
+
+                write_image(watch_path, partial_image())
         colors = jnp.concatenate(parts)[:n]
     out = jnp.zeros_like(colors).at[perm].set(colors)
     return out.reshape(cfg.height, cfg.width, 3)

@@ -23,7 +23,7 @@ def checker_texture(n=8, size=32):
 
 
 def sphere_and_plane_scene(reflect=0.3, transparent=False, textured=False,
-                           light="spot"):
+                           light="spot", convex_sphere=False):
     """Sphere over a ground plane — the reference demo scene in miniature
     (Game1.cs:98-109)."""
     mat_s = Material(
@@ -39,7 +39,8 @@ def sphere_and_plane_scene(reflect=0.3, transparent=False, textured=False,
         mat_p.texture = checker_texture()
     objs = [
         SceneObject(
-            meshes=[uv_sphere(radius=4.0, stacks=8, slices=12, material=mat_s)],
+            meshes=[uv_sphere(radius=4.0, stacks=8, slices=12, material=mat_s,
+                              convex=convex_sphere)],
             position=(0.0, 4.0, 0.0),
         ),
         SceneObject(meshes=[plane(size=(40.0, 40.0), material=mat_p)]),

@@ -125,3 +125,69 @@ class TestSupersampling:
         # The bug only affects subdivided (edge) quadrants.
         frac_diff = (np.abs(img_fixed - img_bug).max(-1) > 1e-6).mean()
         assert frac_diff < 0.5
+
+
+class TestDiagnosticRenderModes:
+    """DEBUG_NORMALS / DEBUG_CONVEXFLAG equivalents (RayTracer.cs:563-566)."""
+
+    def test_normals_mode_matches_geometry(self):
+        from raytpu.config import RenderMode
+        from tests.scenes import default_camera, small_cfg, sphere_and_plane_scene
+
+        flat = sphere_and_plane_scene().flatten(leaf_threshold=16, max_depth=8)
+        cfg = small_cfg(render_mode=RenderMode.NORMALS, max_reflections=0)
+        img = np.asarray(render_image(flat, cfg, default_camera()))
+        # The ground plane faces +Y: its pixels are exactly (0, 1, 0).
+        # (XNA Color(Vector3) clamps; x/z of the up normal are 0.)
+        greens = np.all(np.abs(img - [0.0, 1.0, 0.0]) < 1e-6, axis=-1)
+        assert greens.mean() > 0.3  # plane dominates the lower frame
+        # Sphere pixels vary; some must be non-axis colors.
+        hit = img.any(axis=-1)
+        assert (hit & ~greens).sum() > 20
+
+    def test_convexflag_mode(self):
+        from raytpu.config import RenderMode
+        from tests.scenes import default_camera, small_cfg, sphere_and_plane_scene
+
+        flat = sphere_and_plane_scene(convex_sphere=True).flatten(
+            leaf_threshold=16, max_depth=8)
+        cfg = small_cfg(render_mode=RenderMode.CONVEXFLAG, max_reflections=0)
+        img = np.asarray(render_image(flat, cfg, default_camera()))
+        green = np.all(np.abs(img - [0.0, 128.0 / 255.0, 0.0]) < 1e-6, axis=-1)
+        red = np.all(np.abs(img - [1.0, 0.0, 0.0]) < 1e-6, axis=-1)
+        assert green.any() and red.any()
+        # Every hit pixel is exactly one of the two flag colors.
+        hit = img.any(axis=-1)
+        assert (hit == (green | red)).all()
+
+    def test_watch_writes_partial_frames(self, tmp_path):
+        from tests.scenes import default_camera, small_cfg, sphere_and_plane_scene
+
+        flat = sphere_and_plane_scene().flatten(leaf_threshold=16, max_depth=8)
+        cfg = small_cfg(max_reflections=0, tile_pixels=64)
+        out = tmp_path / "watch.png"
+        seen = []
+        orig_write = None
+
+        import raytpu.io.image as image_mod
+
+        orig_write = image_mod.write_image
+
+        def spy(path, img):
+            seen.append(np.asarray(img).copy())
+            return orig_write(path, img)
+
+        image_mod.write_image = spy
+        try:
+            img = render_image(flat, cfg, default_camera(),
+                               watch_path=str(out), watch_every=2)
+        finally:
+            image_mod.write_image = orig_write
+        assert out.exists()
+        assert len(seen) >= 2  # partial frames were written
+        # Partials only ever add pixels; the traced prefix matches the
+        # final image.
+        final = np.asarray(img)
+        for part in seen:
+            filled = part.any(axis=-1)
+            np.testing.assert_allclose(part[filled], final[filled], atol=1e-6)

@@ -103,3 +103,57 @@ class TestInstancedVsBaked:
         bakes, instances, baked = setup
         shared_tris = sum(b.num_tris for b in bakes)
         assert baked.num_tris > shared_tris  # two sphere instances baked
+
+
+class TestSceneLevelPruning:
+    """World-AABB ray pruning (OctreeSpatialManager.cs:457-482 analog)."""
+
+    def test_prune_parity(self, setup):
+        """Pruned and unpruned passes return identical results."""
+        bakes, instances, _ = setup
+        o, d = _rays()
+        h1 = nearest_hit_instanced(bakes, instances, o, d, prune=True,
+                                   intersector=Intersector.BRUTE)
+        h0 = nearest_hit_instanced(bakes, instances, o, d, prune=False,
+                                   intersector=Intersector.BRUTE)
+        for a, b in zip(h1, h0):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rays_at_one_instance_skip_the_others(self, setup):
+        """Rays converging on instance 0's sphere enter the other two
+        instances' passes as dead lanes (live count 0): the N-instance
+        cost is no longer O(instances) per ray."""
+        bakes, instances, _ = setup
+        n = 64
+        # Aim every ray from just outside instance 0 (-3, 1, 0) at its
+        # center; the other instances sit well off these ray lines.
+        rng = np.random.default_rng(7)
+        target = np.asarray([-3.0, 1.0, 0.0], np.float32)
+        o = (target + np.asarray([-2.5, 0.6, 0.0], np.float32)
+             + 0.05 * rng.normal(size=(n, 3)).astype(np.float32))
+        d = target - o
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        h, stats = nearest_hit_instanced(
+            bakes, instances, jnp.asarray(o), jnp.asarray(d),
+            intersector=Intersector.BRUTE, return_stats=True)
+        stats = np.asarray(stats)
+        assert stats[0] == n            # all rays live for the target
+        assert stats[1] == 0 and stats[2] == 0
+        assert np.asarray(h.hit).all()
+        np.testing.assert_array_equal(np.asarray(h.instance), 0)
+
+    def test_prune_respects_running_best(self, setup):
+        """A ray that already found a nearer hit prunes instances whose
+        AABB entry lies beyond it (entry-vs-best cap)."""
+        bakes, instances, _ = setup
+        # Ray along -x through instance 0's sphere at (-3, 1, 0), fired
+        # from +x beyond instance 1's sphere at (3, 2, -1): it passes near
+        # both, hits whichever is nearer first.
+        o = jnp.asarray([[8.0, 1.0, 0.0]], jnp.float32)
+        d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+        h1 = nearest_hit_instanced(bakes, instances, o, d, prune=True,
+                                   intersector=Intersector.BRUTE)
+        h0 = nearest_hit_instanced(bakes, instances, o, d, prune=False,
+                                   intersector=Intersector.BRUTE)
+        for a, b in zip(h1, h0):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
