@@ -89,14 +89,24 @@ def _checker_texture(n: int = 8, size: int = 256) -> np.ndarray:
 
 
 def _load_scene(args):
+    """Resolve ``--scene`` → (Scene, file Camera or None).
+
+    Accepts a builtin name (demo|spheres|crate), a bare .obj/.fbx mesh
+    path, or a .toml scene file — the per-asset material-params format
+    (scene/sceneformat.py, the ``.contentproj`` processor-parameters
+    analog)."""
     from raytpu.scene.lights import SpotLight
     from raytpu.scene.types import Material, Scene, SceneObject
 
     path = args.scene
     if os.path.exists(path):
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".toml":
+            from raytpu.scene.sceneformat import load_scene_toml
+
+            return load_scene_toml(path)
         mat = Material(reflectiveness=args.reflect,
                        diffuse_color=(0.8, 0.7, 0.6, 1.0))
-        ext = os.path.splitext(path)[1].lower()
         if ext == ".obj":
             from raytpu.scene.obj_loader import load_obj
 
@@ -112,15 +122,24 @@ def _load_scene(args):
         light = SpotLight(position=(0.0, 5.0, 20.0),
                           direction=(0.0, -0.2425356, -0.9701425),
                           spot_angle=math.pi / 2)
-        return Scene(objects=[obj], lights=[light])
-    return _build_scene(path, args.reflect, args.transparent)
+        return Scene(objects=[obj], lights=[light]), None
+    return _build_scene(path, args.reflect, args.transparent), None
 
 
-def _camera(args, aspect: float):
+def _camera(args, aspect: float, scene_cam=None):
+    """CLI camera: scene-file camera as the base, CLI flags override."""
+    import dataclasses
+
     from raytpu.core.camera import Camera
 
-    return Camera(position=tuple(args.camera), target=tuple(args.target),
-                  fov=args.fov, aspect=aspect)
+    base = scene_cam or Camera()
+    return dataclasses.replace(
+        base,
+        position=tuple(args.camera) if args.camera is not None else base.position,
+        target=tuple(args.target) if args.target is not None else base.target,
+        fov=args.fov if args.fov is not None else base.fov,
+        aspect=aspect,
+    )
 
 
 def _config(args):
@@ -166,10 +185,10 @@ def cmd_render(args) -> int:
     from raytpu.io.image import write_image
     from raytpu.render import render_image
 
-    scene = _load_scene(args)
+    scene, scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
-    cam = _camera(args, args.width / args.height)
+    cam = _camera(args, args.width / args.height, scene_cam)
     progress = None
     if args.progress:
         # The reference's on-screen "N.NN %" overlay (Game1.cs:331-344).
@@ -192,15 +211,16 @@ def cmd_animate(args) -> int:
     from raytpu.io.image import write_image
     from raytpu.render import render_image
 
-    scene = _load_scene(args)
+    scene, scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
+    base_cam = _camera(args, args.width / args.height, scene_cam)
 
     frame_dir = args.frame_dir or os.path.splitext(args.out)[0] + "_frames"
     os.makedirs(frame_dir, exist_ok=True)
     _dump_config(cfg, args.out)
 
-    cx, cy, cz = args.camera
+    cx, cy, cz = base_cam.position
     radius = math.hypot(cx, cz)
     base = math.atan2(cx, cz)
 
@@ -226,7 +246,7 @@ def cmd_animate(args) -> int:
 
             cam = Camera(
                 position=(radius * math.sin(ang), cy, radius * math.cos(ang)),
-                target=tuple(args.target), fov=args.fov,
+                target=base_cam.target, fov=base_cam.fov,
                 aspect=args.width / args.height,
             )
             img = np.asarray(render_image(flat, cfg, cam))
@@ -248,10 +268,10 @@ def cmd_fit(args) -> int:
     from raytpu.io.image import read_image, write_image
     from raytpu.render import render_image
 
-    scene = _load_scene(args)
+    scene, scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
-    cam = _camera(args, args.width / args.height)
+    cam = _camera(args, args.width / args.height, scene_cam)
 
     fields = ()
     if "geometry" in args.optimize:
@@ -301,12 +321,12 @@ def _add_common(p):
                    help="adaptive supersampling quality (0 = off)")
     p.add_argument("--intersector", default="auto",
                    choices=("auto", "octree", "brute", "tiled", "pallas"))
-    p.add_argument("--camera", type=float, nargs=3,
-                   default=(0.0, 16.0, 32.0),
-                   help="reference default (Game1.cs:111)")
+    p.add_argument("--camera", type=float, nargs=3, default=None,
+                   help="default (0, 16, 32), the reference's (Game1.cs:111);"
+                        " a .toml scene's camera is used unless overridden")
     p.add_argument("--look-at", dest="target", type=float, nargs=3,
-                   default=(0.0, 0.0, 0.0))
-    p.add_argument("--fov", type=float, default=math.pi / 4)
+                   default=None)
+    p.add_argument("--fov", type=float, default=None)
     p.add_argument("--reflect", type=float, default=0.5)
     p.add_argument("--transparent", action="store_true")
     p.add_argument("--obj-scale", type=float, default=1.0)

@@ -12,6 +12,14 @@ import numpy as np
 from raytpu.scene.types import Material, Mesh
 
 
+def checker_texture(n: int = 8, size: int = 256) -> np.ndarray:
+    """checkers.bmp stand-in (the reference ships one in its content)."""
+    y, x = np.mgrid[0:size, 0:size]
+    cells = ((x * n // size) + (y * n // size)) % 2
+    img = np.where(cells[..., None] > 0, 220.0, 40.0)
+    return np.repeat(img, 3, axis=-1).reshape(size, size, 3).astype(np.float32)
+
+
 def _mesh_from_indexed(verts, normals, uvs, faces, material, **kw):
     faces = np.asarray(faces, np.int64)
     v = verts[faces]  # (T, 3, 3)
