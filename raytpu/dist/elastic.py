@@ -21,12 +21,48 @@ Fault injection for tests: pass ``inject_failure`` — a callable
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from typing import Callable, List, Optional, Sequence
 
 
 class UnitFailure(RuntimeError):
     pass
+
+
+def _run_with_watchdog(fn, unit, timeout_s: Optional[float]):
+    """Run ``fn(unit)`` under a watchdog thread.
+
+    With a timeout, the call runs in a daemon worker and the driver waits at
+    most ``timeout_s`` — a silently hung device call (the reference's analog
+    failure: a crashed render thread hanging Thread.Join,
+    RayTracer.cs:117-120) no longer hangs the driver; it raises UnitFailure
+    and the unit is re-dispatched.  The hung call itself cannot be
+    interrupted portably: its daemon thread is abandoned (it dies with the
+    process), and the retry may contend with it for the device until the
+    runtime clears the stuck call."""
+    if timeout_s is None:
+        return fn(unit)
+    box: dict = {}
+
+    def work():
+        try:
+            box["result"] = fn(unit)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the driver
+            box["error"] = e
+
+    th = threading.Thread(target=work, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        raise UnitFailure(
+            f"watchdog: call still in flight after "
+            f"{time.perf_counter() - t0:.1f}s (timeout {timeout_s:.1f}s)"
+        )
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
 
 
 @dataclasses.dataclass
@@ -48,10 +84,10 @@ def render_units(units: Sequence, render_one: Callable,
     """Render every unit with detection + bounded re-dispatch.
 
     ``render_one(unit)`` must be a pure function of the unit (re-running it
-    is safe by construction — the elastic recovery contract).  A unit whose
-    attempt exceeds ``timeout_s`` wall-clock is treated as failed (the
-    runtime call itself cannot be interrupted portably; the timeout marks
-    the unit for the caller's attention and triggers a retry).
+    is safe by construction — the elastic recovery contract).  With
+    ``timeout_s``, each attempt runs under a watchdog thread: a hung device
+    call is abandoned after the timeout and the unit retried, so the driver
+    itself can never hang (see _run_with_watchdog for the contract).
     """
     out: List[UnitResult] = []
     for i, unit in enumerate(units):
@@ -61,17 +97,11 @@ def render_units(units: Sequence, render_one: Callable,
         result = None
         attempt = 0
         for attempt in range(1, max_attempts + 1):
-            t0 = time.perf_counter()
             try:
                 if inject_failure is not None and inject_failure(i, attempt):
                     raise UnitFailure(f"injected failure (unit {i}, "
                                       f"attempt {attempt})")
-                result = render_one(unit)
-                dt = time.perf_counter() - t0
-                if timeout_s is not None and dt > timeout_s:
-                    raise UnitFailure(
-                        f"unit {i} exceeded {timeout_s:.1f}s ({dt:.1f}s)"
-                    )
+                result = _run_with_watchdog(render_one, unit, timeout_s)
                 ok = True
                 break
             except Exception as e:  # noqa: BLE001 — runtime faults vary

@@ -97,29 +97,11 @@ def cast_ray_debug(scene, cfg: RenderConfig, origin, direction) -> RayPath:
     kinds = [PRIMARY]
     for level in range(cfg.max_reflections + 1):
         is_max = level == cfg.max_reflections
-        # Re-run the level to get hit data for capture: _trace_level
-        # computes mask/children; we need frag positions, so recompute them
-        # from its intersection the same way it does.
-        from raytpu.accel.traverse import nearest_hit
-
-        hit = nearest_hit(
-            scene,
-            level_rays.origin,
-            jnp.where(level_rays.alive[..., None], level_rays.direction,
-                      jnp.float32(jnp.nan)),
-            ignore_tri=level_rays.ignore_tri,
-            ignore_mesh=level_rays.ignore_mesh,
-            cull=True,
-            intersector=cfg.intersector,
-            block=cfg.tri_block,
-            brute_force_max_tris=cfg.brute_force_max_tris,
-            cull_tile=cfg.cull_tile,
-            cull_chunk=cfg.cull_chunk,
-        )
-        safe = jnp.maximum(hit.tri, 0)
-        frag = (scene.tri_v1[safe] + scene.tri_e1[safe] * hit.u[..., None]
-                + scene.tri_e2[safe] * hit.v[..., None])
-        mask = hit.hit & level_rays.alive
+        # One _trace_level call per level: capture_hits hands back the very
+        # (hit, frag_pos) the renderer computed — no second query.
+        record, children, (hit, frag) = _trace_level(
+            scene, cfg, level_rays, is_max, capture_hits=True)
+        mask = record.mask
 
         # One capture per kind-block at this level.
         n_blocks = len(kinds)
@@ -132,7 +114,6 @@ def cast_ray_debug(scene, cfg: RenderConfig, origin, direction) -> RayPath:
 
         if is_max:
             break
-        _, children = _trace_level(scene, cfg, level_rays, is_max)
         refl_rays, refr_rays = children
         if scene.has_transparent and refr_rays is not None:
             import jax

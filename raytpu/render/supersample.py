@@ -111,7 +111,15 @@ def supersample_colors(scene, cfg: RenderConfig, camera: Camera, cx, cy,
 
 def render_image_multisampled(scene, cfg: RenderConfig, camera: Camera):
     """Full-frame adaptive-supersampled render (RenderFirstPass,
-    RayTracer.cs:170-213: quadrant centers at integer pixel coords)."""
+    RayTracer.cs:170-213: quadrant centers at integer pixel coords).
+
+    One jitted program per frame: the pixel loop dispatches equal-size
+    tiles (the tail is padded with dead quadrants, which every backend
+    drops from its tile bounds via the NaN-direction convention), so the
+    tracer compiles exactly once instead of retracing per tile and
+    recompiling for a ragged tail."""
+    import jax
+
     ys, xs = jnp.meshgrid(
         jnp.arange(cfg.height, dtype=jnp.float32),
         jnp.arange(cfg.width, dtype=jnp.float32),
@@ -123,12 +131,17 @@ def render_image_multisampled(scene, cfg: RenderConfig, camera: Camera):
     # Tile over pixels to bound the 4^quality expansion.
     n = cx.shape[0]
     tile = max(1, cfg.tile_pixels // (4 ** cfg.multisample_quality * 4))
+    pad = (-n) % tile
+    if pad:
+        cx = jnp.concatenate([cx, jnp.zeros((pad,), jnp.float32)])
+        cy = jnp.concatenate([cy, jnp.zeros((pad,), jnp.float32)])
+    alive = jnp.arange(cx.shape[0]) < n
+
+    fn = jax.jit(lambda s, x, y, a: supersample_colors(s, cfg, camera,
+                                                       x, y, alive=a))
     outs = []
-    for start in range(0, n, tile):
-        outs.append(
-            supersample_colors(
-                scene, cfg, camera, cx[start : start + tile], cy[start : start + tile]
-            )
-        )
-    colors = jnp.concatenate(outs, axis=0)
+    for start in range(0, cx.shape[0], tile):
+        sl = slice(start, start + tile)
+        outs.append(fn(scene, cx[sl], cy[sl], alive[sl]))
+    colors = jnp.concatenate(outs, axis=0)[:n]
     return colors.reshape(cfg.height, cfg.width, 3)

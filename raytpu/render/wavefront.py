@@ -186,8 +186,13 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
 
 
 def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
-                 is_max_level: bool):
-    """One wavefront level: intersect + shade + spawn children."""
+                 is_max_level: bool, capture_hits: bool = False):
+    """One wavefront level: intersect + shade + spawn children.
+
+    ``capture_hits``: additionally return ``(hit, frag_pos)`` so debug
+    tooling (render/debug.py) reuses this level's intersection instead of
+    re-querying — the captured path is *the* renderer's computation, with
+    no second query that could drift from it."""
     hit = nearest_hit(
         scene,
         rays.origin,
@@ -317,6 +322,8 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
         stm = 1.0 + jnp.where(mask, soft_vis, 0.0)
         a, b, c = a * stm[..., None], b * stm[..., None], c * stm
     record = LevelRecord(mask=mask, a=a, b=b, c=c)
+    if capture_hits:
+        return record, children, (hit, frag_pos)
     return record, children
 
 

@@ -79,3 +79,46 @@ def test_render_tiles_end_to_end():
     img = np.concatenate([r.result for r in res])
     ref = np.asarray(trace_colors(flat, cfg, o, d))
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_watchdog_interrupts_hung_call():
+    """A hung device call no longer hangs the driver: the watchdog abandons
+    it at timeout_s and the unit is retried / reported failed fast."""
+    import time
+
+    from raytpu.dist.elastic import render_units
+
+    hang_first = {"done": False}
+
+    def render_one(unit):
+        if unit == "hang" and not hang_first["done"]:
+            hang_first["done"] = True
+            time.sleep(30.0)  # simulated silent hang
+        return f"ok:{unit}"
+
+    t0 = time.perf_counter()
+    results = render_units(["a", "hang", "b"], render_one,
+                           max_attempts=2, timeout_s=0.3, backoff_s=0.01)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 5.0  # driver returned long before the 30s hang
+    assert [r.ok for r in results] == [True, True, True]
+    # The hung attempt was detected and retried.
+    assert results[1].attempts == 2
+    assert results[1].result == "ok:hang"
+
+
+def test_watchdog_reports_unrecovered_hang():
+    import time
+
+    from raytpu.dist.elastic import failed_units, render_units
+
+    def render_one(unit):
+        time.sleep(10.0)
+        return unit
+
+    t0 = time.perf_counter()
+    results = render_units([0], render_one, max_attempts=2, timeout_s=0.2,
+                           backoff_s=0.01)
+    assert time.perf_counter() - t0 < 5.0
+    assert failed_units(results) == [0]
+    assert "watchdog" in results[0].error
