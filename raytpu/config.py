@@ -118,8 +118,15 @@ class RenderConfig:
     # unresolved rays are compacted into fresh narrow tiles and finished by
     # an unbudgeted phase 2 (0 = single phase).  All three are exact; they
     # only change how much conservative overtesting the lockstep tile pays.
-    cull_pretest: bool = True
-    cull_recull: int = 6
+    # Measured on the v5e bench terrain (tools/kernsweep.py, r3): the
+    # median-split walk already visits only ~7 clusters/tile on average and
+    # rays resolve near the end of their tile's walk, so no picked cluster
+    # is skippable while it matters — pretest (+47%) and recull (+9%) cost
+    # more than they save there.  OFF by default; flip them for workloads
+    # with deep occlusion or wide tiles where the walk badly overshoots the
+    # per-ray need.
+    cull_pretest: bool = False
+    cull_recull: int = 0
     cull_phase1: int = 0
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so

@@ -298,10 +298,12 @@ def _fused_kernel(
             # One MXU matmul yields all four det-space quantities for the
             # whole cluster: R (TS, 16) @ G (16, 4C) -> [det|udet|vdet|tdet]
             # column blocks.  f32 inputs with preferred f32 accumulate.
+            # Mosaic lowers only DEFAULT (one bf16 pass — flips ~half the
+            # winners, unusable) and HIGHEST (x6 bf16 passes, near-exact);
+            # HIGH (x3) is not implemented in the Pallas TPU lowering.
             out = jnp.dot(rmat, g[0:16, :], preferred_element_type=f32,
                           precision={
                               "default": jax.lax.Precision.DEFAULT,
-                              "high": jax.lax.Precision.HIGH,
                               "highest": jax.lax.Precision.HIGHEST,
                           }[mxu_precision])
             det = out[:, 0:c]

@@ -134,7 +134,44 @@ def main():
     timed(jax.jit(lambda s: cl["slotgeo"][s]), (safe,), args.reps, "gather")
 
     full = jax.jit(lambda o, d: nearest_hit_fused(flat, o, d))
-    timed(full, (origin, direction), args.reps, "full")
+    (hit_full, _) = timed(full, (origin, direction), args.reps, "full")
+
+    # Shadow-query phase: exactly the wavefront's occlusion query — frag
+    # positions toward the spotlight, per-ray t_max, ignore-triangle ids,
+    # any_hit early-out.
+    from raytpu.scene import lights as lights_mod
+
+    def shadow(o, d, h_tri, h_u, h_v, h_hit):
+        safe = jnp.maximum(h_tri, 0)
+        frag = (flat.tri_v1[safe] + flat.tri_e1[safe] * h_u[..., None]
+                + flat.tri_e2[safe] * h_v[..., None])
+        sdir, sdist = lights_mod.light_shadow_query(flat.lights, 0, frag)
+        sdir = jnp.where(h_hit[..., None], sdir, jnp.float32(jnp.nan))
+        return nearest_hit_fused(flat, frag, sdir, ignore_tri=h_tri,
+                                 t_max=sdist, any_hit=True)
+
+    timed(jax.jit(shadow),
+          (origin, direction, hit_full.tri, hit_full.u, hit_full.v,
+           hit_full.hit),
+          args.reps, "shadowq")
+
+    # The whole bench frame (primary + shadow + shading) for reference.
+    from raytpu.config import Intersector, Quantize, RenderConfig
+    from raytpu.render.wavefront import render_rays
+
+    cfg = RenderConfig(width=args.res, height=args.res, max_reflections=0,
+                       intersector=Intersector.PALLAS, tile_pixels=32768,
+                       quantize=Quantize.NONE)
+    timed(jax.jit(lambda o, d: render_rays(flat, cfg, o, d)),
+          (origin, direction), args.reps, "frame")
+
+    # Frame with tile_pixels covering the whole ray set in ONE lax.map
+    # body (no 32-way serialization of small XLA segments).
+    cfg1 = RenderConfig(width=args.res, height=args.res, max_reflections=0,
+                        intersector=Intersector.PALLAS,
+                        tile_pixels=rr, quantize=Quantize.NONE)
+    timed(jax.jit(lambda o, d: render_rays(flat, cfg1, o, d)),
+          (origin, direction), args.reps, "frame1")
 
 
 if __name__ == "__main__":

@@ -27,8 +27,6 @@ CONFIGS = {
     "vpu-pre": (False, None, True, 0, 256, 0),
     "vpu-pre-re6": (False, None, True, 6, 256, 0),
     "mxu-hi": (True, "highest", False, 0, 256, 0),
-    "mxu-hi3": (True, "high", False, 0, 256, 0),
-    "mxu-hi3-pre": (True, "high", True, 0, 256, 0),
     "mxu-def": (True, "default", False, 0, 256, 0),
     "vpu-ts128": (False, None, False, 0, 128, 0),
     "vpu-ts512": (False, None, False, 0, 512, 0),
