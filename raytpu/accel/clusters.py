@@ -195,16 +195,13 @@ class ClusterTable:
         root[0, 3:6] = root_max
         root[0, 6] = margin
 
-        # Packed slot-ordered winner-recompute row (Tp, 16): v1 e1 e2 (3
-        # each), triangle id bits (col 9) — ONE gather per ray resolves the
-        # fused kernel's winning code to exact (u, v, t) inputs + id
-        # (kernels/fused.py host-side epilogue), instead of four.
-        tp = nc * c
-        slotgeo = np.zeros((tp, 16), np.float32)
-        slotgeo[:, 0:3] = v1h
-        slotgeo[:, 3:6] = e1h
-        slotgeo[:, 6:9] = e2h
-        slotgeo[:, 9] = tri_id.view(np.float32)
+        # The fused kernel returns the winner's triangle id as an exact
+        # f32 VALUE extracted in-walk (kernels/fused.py uvt mode): ids must
+        # be exactly representable.
+        assert tri_id.max(initial=-1) < (1 << 24), (
+            "triangle ids >= 2^24 are not exactly representable as f32; "
+            "the fused kernel's in-walk winner extraction requires <16.7M "
+            "triangles per scene")
 
         out = {
             "cluster_min": jnp.asarray(self.cluster_min),
@@ -220,7 +217,6 @@ class ClusterTable:
             "tri_snormal": perm(tri_snormal),
             "tri_mesh": jnp.asarray(mesh),
             "block": jnp.asarray(block),
-            "slotgeo": jnp.asarray(slotgeo),
         }
         if gblock is not None:
             out["gblock"] = jnp.asarray(gblock)

@@ -78,15 +78,19 @@ ROWS = 16  # packed ray rows (o, d, tmax, itri, imesh, pad)
 
 def _fused_kernel(
     root_ref,  # (1, 8) SMEM: root_min xyz, root_max xyz, margin, pad
-    rays,      # (1, ROWS, TS) VMEM packed rays
+    rays,      # (ROWS, TS) VMEM packed rays (column slice of (ROWS, R))
     aabb,      # (6, 8, NC8) VMEM cluster AABBs (min xyz, max xyz planes)
     block_hbm,  # (NC, 24, C) ANY packed cluster geometry
-    out_t, out_code, out_res, out_iters,  # outputs
+    out_t, out_code, out_uvt, out_res, out_iters,  # outputs
     ent,       # (8, NC8) VMEM scratch: remaining entry bounds
     done,      # (8, NC8) VMEM scratch: 1.0 where the cluster was picked
     bt_ref,    # (TS, 1) VMEM scratch: per-ray best hit distance
     bc_ref,    # (TS, 1) VMEM scratch: per-ray best slot code
     rs_ref,    # (TS, 1) VMEM scratch: 1.0 where the ray is resolved
+    bu_ref,    # (TS, 1) VMEM scratch: winner udet (uvt mode)
+    bv_ref,    # (TS, 1) VMEM scratch: winner vdet (uvt mode)
+    bd_ref,    # (TS, 1) VMEM scratch: winner det (uvt mode)
+    bi_ref,    # (TS, 1) VMEM scratch: winner triangle id as f32 (uvt mode)
     qk, qv,    # (NGRP*K,) SMEM scratch: DMA queue cluster ids / entry bounds
     buf,       # (NGRP*K, 24, C) VMEM scratch (slot = grp*K + j)
     sem,       # DMA semaphores (NGRP*K,)
@@ -102,8 +106,9 @@ def _fused_kernel(
     recull_every: int = 0,
     pretest: bool = False,
     max_trips: int = 0,
+    uvt: bool = False,
 ):
-    ts = rays.shape[2]
+    ts = rays.shape[1]
     nc8 = aabb.shape[2]
     c = buf.shape[2] // 4 if mxu else buf.shape[2]
     f32 = jnp.float32
@@ -113,12 +118,12 @@ def _fused_kernel(
     # vector occupies TS/8 vregs at 1/128 lane utilization, so the same op
     # costs 16x more there; only the quantities the per-cluster test
     # broadcasts against (1, C) triangle rows need the (TS, 1) layout.
-    row = lambda r: rays[0, r:r + 1, :]  # (1, TS)
+    row = lambda r: rays[r:r + 1, :]  # (1, TS)
     oxr, oyr, ozr = row(0), row(1), row(2)
     dxr, dyr, dzr = row(3), row(4), row(5)
     tmax_in = row(6)
 
-    col = lambda r: rays[0, r, :].reshape(ts, 1)
+    col = lambda r: rays[r, :].reshape(ts, 1)
     ox, oy, oz = col(0), col(1), col(2)
     dx, dy, dz = col(3), col(4), col(5)
     itri = jax.lax.bitcast_convert_type(col(7), i32)
@@ -349,7 +354,16 @@ def _fused_kernel(
 
         dist = jnp.where(ok, tdet / det, INF)
         code = k_i * c + lane_row  # (1, C)
-        return dist, code
+        if not uvt:
+            return dist, code, None
+        if mxu:
+            tid_i = jax.lax.bitcast_convert_type(g[16:17, :], i32)[:, 0:c]
+        else:
+            tid_i = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+        # Triangle id as an exact f32 VALUE (ids < 2^24 — asserted at bake
+        # time): lets the winner extraction below ride the same one-hot
+        # float sums as the det-space quantities.
+        return dist, code, (udet, vdet, det, tid_i.astype(f32))
 
     # Per-ray reciprocal directions for the slab pretest, hoisted — in
     # LANE-MAJOR (1, TS) layout: a (TS, 1) f32 vector occupies TS/8 vregs
@@ -387,6 +401,11 @@ def _fused_kernel(
 
     bt_ref[:, :] = tmax0
     bc_ref[:, :] = jnp.full((ts, 1), -1, i32)
+    if uvt:
+        bu_ref[:, :] = jnp.zeros((ts, 1), f32)
+        bv_ref[:, :] = jnp.zeros((ts, 1), f32)
+        bd_ref[:, :] = jnp.ones((ts, 1), f32)
+        bi_ref[:, :] = jnp.full((ts, 1), -1.0, f32)
     # Non-finite rays have cap == 0 => tmax0 <= 0 covers them, except a
     # non-finite tmax_in propagates NaN — fold both into the resolved init
     # (NaN slab math in slab_viable is also caught by ~resolved).
@@ -419,17 +438,32 @@ def _fused_kernel(
             g = buf[grp * kc + j]
 
             def do_test(j=j):
-                dist, code = test_cluster(grp, j)
+                dist, code, quants = test_cluster(grp, j)
                 mint = jnp.min(dist, axis=1, keepdims=True)  # (TS, 1)
                 # Lowest slot code among equals (ties within a cluster
                 # resolve by lane order; across trips the strict-min keeps
                 # the earlier — lower-entry — hit).
-                pc = jnp.min(jnp.where(dist == mint, code, i32(2 ** 30)),
+                win = dist == mint
+                pc = jnp.min(jnp.where(win, code, i32(2 ** 30)),
                              axis=1, keepdims=True)
                 bt = bt_ref[:, :]
                 upd = mint < bt
                 bt_ref[:, :] = jnp.where(upd, mint, bt)
                 bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
+                if uvt:
+                    # Winner extraction: one-hot (code == pc) row sums pull
+                    # the winning pair's det-space quantities + triangle id
+                    # out of the (TS, C) pass, so NO host-side gather or
+                    # recompute is needed afterwards (the old epilogue's
+                    # (R, 16) slotgeo gather alone cost as much as half the
+                    # walk at 1M rays).
+                    one = (code == pc).astype(f32)  # exactly one lane/ray
+                    ud, vd, dd, ti = quants
+                    sums = lambda q: jnp.sum(one * q, axis=1, keepdims=True)
+                    bu_ref[:, :] = jnp.where(upd, sums(ud), bu_ref[:, :])
+                    bv_ref[:, :] = jnp.where(upd, sums(vd), bv_ref[:, :])
+                    bd_ref[:, :] = jnp.where(upd, sums(dd), bd_ref[:, :])
+                    bi_ref[:, :] = jnp.where(upd, sums(ti), bi_ref[:, :])
 
             if pretest:
                 pl.when(slab_viable(g, cap_lm))(do_test)
@@ -495,34 +529,53 @@ def _fused_kernel(
 
     out_t[0, 0, :] = best_t[:, 0]
     out_code[0, 0, :] = best_code[:, 0]
+    if uvt:
+        # Winner (u, v) by ONE division per ray from the extracted
+        # det-space quantities — the same values and rounding the old
+        # host-side epilogue recomputed from its slotgeo gather.  No-hit
+        # rays carry det=1 / udet=vdet=0 / tid=-1 from init.
+        hitm = best_code >= 0
+        safe_det = jnp.where(hitm, bd_ref[:, :], f32(1.0))
+        out_uvt[0, 0, :] = (bu_ref[:, :] / safe_det)[:, 0]
+        out_uvt[0, 1, :] = (bv_ref[:, :] / safe_det)[:, 0]
+        out_uvt[0, 2, :] = bi_ref[:, :][:, 0]
+        out_uvt[0, 3, :] = jnp.zeros((ts, 1), f32)[:, 0]
     out_res[0, 0, :] = (rs_ref[:, :] > 0.0).astype(i32)[:, 0]
     out_iters[0, 0, 0] = iters
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cull", "any_hit", "chunk_k", "ngrp",
+    jax.jit, static_argnames=("ts", "cull", "any_hit", "chunk_k", "ngrp",
                               "has_ignore", "mxu", "mxu_precision",
                               "recull_every", "pretest", "max_trips",
-                              "interpret")
+                              "uvt", "interpret")
 )
-def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
+def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
+                cull: bool = True,
                 any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
                 has_ignore: bool = True, mxu: bool = False,
                 mxu_precision: str = "highest",
                 recull_every: int = 0, pretest: bool = False,
-                max_trips: int = 0, interpret: bool = False):
-    """Run the fused kernel over (NT, ROWS, TS) packed ray tiles.
+                max_trips: int = 0, uvt: bool = False,
+                interpret: bool = False):
+    """Run the fused kernel over (ROWS, NT*TS) packed rays, ``ts`` per tile.
+
+    The pack layout IS the kernel layout (row r of ROWS, ray in lanes) —
+    tiles are column slices, no transpose on either side.
 
     ``aabb``: (6, 8, NC8) cluster AABB planes; ``root``: (1, 8) root box +
     margin; ``block``: (NC, 24, C) packed geometry; ``chunk_k``: clusters
     tested per loop trip (overhead amortization — hit distances are
     identical for any value; exact-tie winners *across clusters within one
     trip* resolve by pick order under the per-slot strict-min update, so
-    chunk_k can change which equidistant triangle wins).  Returns
-    (best_t (NT, TS), code (NT, TS), resolved (NT, TS) 0/1, iters (NT,)
-    loop trips).
+    chunk_k can change which equidistant triangle wins).  ``uvt``: also
+    maintain the winner's (u, v, triangle id) in-kernel (one-hot
+    extraction per trip) so callers need no gather/recompute epilogue.
+
+    Returns (best_t (NT, TS), code (NT, TS), uvt (NT, 4, TS) or None,
+    resolved (NT, TS) 0/1, iters (NT,) loop trips).
     """
-    nt, _, ts = rays_packed.shape
+    nt = rays_packed.shape[1] // ts
     nc = block.shape[0]
     csize = block.shape[2]
     nc8 = aabb.shape[2]
@@ -534,11 +587,13 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
                           k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
                           mxu=mxu, mxu_precision=mxu_precision,
                           recull_every=recull_every, pretest=pretest,
-                          max_trips=max_trips),
+                          max_trips=max_trips, uvt=uvt),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ROWS, ts), lambda i: (i, 0, 0),
+            # Column slice of the (ROWS, R) pack — no transpose anywhere:
+            # the host-side stack IS the kernel layout.
+            pl.BlockSpec((ROWS, ts), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             # Constant index map: the AABB table stays resident in VMEM
             # across grid steps instead of re-streaming per tile.
@@ -547,9 +602,14 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
+            # (1, 1, ts) / (1, 4, ts) blocks: Mosaic requires the last two
+            # block dims be 8/128-divisible OR equal to the array dims —
+            # the leading 1-sized/4-sized middle dim satisfies the latter.
             pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -559,6 +619,7 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
+            jax.ShapeDtypeStruct((nt, 4, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
             jax.ShapeDtypeStruct((nt, 1, 1), i32),
         ],
@@ -568,6 +629,10 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
             pltpu.VMEM((ts, 1), f32),
             pltpu.VMEM((ts, 1), i32),
             pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
             pltpu.SMEM((ngrp * chunk_k,), i32),
             pltpu.SMEM((ngrp * chunk_k,), f32),
             pltpu.VMEM((ngrp * chunk_k, 24, csize), f32),
@@ -575,9 +640,10 @@ def fused_tiles(rays_packed, aabb, root, block, cull: bool = True,
         ],
         interpret=interpret,
     )(root, rays_packed, aabb, block)
-    t, code, res, iters = outs
+    t, code, uvt_out, res, iters = outs
     return (t.reshape(nt, ts), code.reshape(nt, ts),
-            res.reshape(nt, ts), iters.reshape(nt))
+            uvt_out if uvt else None, res.reshape(nt, ts),
+            iters.reshape(nt))
 
 
 def _default_interpret() -> bool:
@@ -595,10 +661,14 @@ def _pad_rows(a, tile, fill):
 
 
 def _pack_rays(o, d, itri, imesh, tmax, nt, ts):
-    """Pack padded flat ray arrays into the kernel's (NT, ROWS, TS) tiles."""
+    """Pack padded flat ray arrays into the kernel's (ROWS, R) layout.
+
+    The row-major stack is already the kernel's per-tile layout (tiles are
+    column slices) — the old (NT, ROWS, TS) transpose cost ~25 ms per 1M
+    rays on v5e and is gone."""
     f32 = jnp.float32
     bits = lambda a: jax.lax.bitcast_convert_type(a, f32)
-    packed = jnp.stack(
+    return jnp.stack(
         [
             o[:, 0], o[:, 1], o[:, 2],
             d[:, 0], d[:, 1], d[:, 2],
@@ -607,7 +677,6 @@ def _pack_rays(o, d, itri, imesh, tmax, nt, ts):
         + [jnp.zeros((nt * ts,), f32)] * (ROWS - 9),
         axis=0,
     )  # (ROWS, R)
-    return packed.reshape(ROWS, nt, ts).transpose(1, 0, 2)
 
 
 def _compact_order(resolved):
@@ -701,10 +770,13 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
 
     packed = _pack_rays(o, d, itri, imesh, tmax, nt, ts)
 
-    kw = dict(cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
+    # any_hit (occlusion) queries need only the hit boolean + bounded t —
+    # skip the in-kernel winner extraction AND the whole epilogue.
+    uvt = not any_hit
+    kw = dict(ts=ts, cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
               has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
-              pretest=pretest, interpret=interpret)
-    best_t, code, _res, _iters = fused_tiles(
+              pretest=pretest, uvt=uvt, interpret=interpret)
+    best_t, code, uvt_out, _res, _iters = fused_tiles(
         packed, cl["aabb"], cl["root"], cl["gblock" if mxu else "block"],
         max_trips=phase1_trips, **kw,
     )
@@ -721,7 +793,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         d2 = jnp.where(res_s[:, None], jnp.float32(jnp.nan), take(d))
         packed2 = _pack_rays(take(o), d2, take(itri), take(imesh),
                              take(bt1), nt, ts)
-        bt2, code2, _res2, iters2 = fused_tiles(
+        bt2, code2, uvt2, _res2, iters2 = fused_tiles(
             packed2, cl["aabb"], cl["root"],
             cl["gblock" if mxu else "block"], max_trips=0, **kw,
         )
@@ -734,52 +806,35 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         code_s = jnp.where(upd, code2, take(code1))
         best_t = jnp.zeros_like(bt_s).at[order].set(bt_s)
         code = jnp.zeros_like(code_s).at[order].set(code_s)
+        if uvt:
+            # Merge winner channels in the flat (R, 4) view, then unsort.
+            u1 = uvt_out.transpose(0, 2, 1).reshape(rp, 4)
+            u2 = uvt2.transpose(0, 2, 1).reshape(rp, 4)
+            u_s = jnp.where(upd[:, None], u2, jnp.take(u1, order, axis=0))
+            uvt_flat = jnp.zeros_like(u_s).at[order].set(u_s)
         _iters = _iters + iters2
+    elif uvt:
+        uvt_flat = uvt_out.transpose(0, 2, 1).reshape(nt * ts, 4)
 
     flat = lambda a: a.reshape(-1)[:r]
     best_t = flat(best_t)
     code = flat(code)
     hit = code >= 0
-    safe = jnp.maximum(code, 0)
-
-    # Recompute (u, v, t) for the winning triangle with the kernel's exact
-    # formula order (bit-identical rounding): the coefficient vectors are
-    # rebuilt from the slot-ordered geometry with the same elementwise ops
-    # the host-side bake used (accel/clusters.py).  One packed gather
-    # (slotgeo) resolves v1/e1/e2/id — TPU row gathers are expensive, so
-    # four separate ones measurably slowed the epilogue.
-    sg = cl["slotgeo"][safe]  # (R, 16)
-    tri = jnp.where(
-        hit, jax.lax.bitcast_convert_type(sg[:, 9], i32), -1
-    )
-    v1 = sg[:, 0:3]
-    e1 = sg[:, 3:6]
-    e2 = sg[:, 6:9]
-    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
-    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
-    wx = dy * oz - dz * oy
-    wy = dz * ox - dx * oz
-    wz = dx * oy - dy * ox
-    cross = lambda a, b: (
-        a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
-        a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
-        a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
-    )
-    nx, ny, nz = cross(e2, e1)
-    m1x, m1y, m1z = cross(v1, e2)
-    m2x, m2y, m2z = cross(e1, v1)
-    c0 = v1[:, 0] * nx + v1[:, 1] * ny + v1[:, 2] * nz
-    det = dx * nx + dy * ny + dz * nz
-    udet = (wx * -e2[:, 0] + wy * -e2[:, 1] + wz * -e2[:, 2]
-            + dx * m1x + dy * m1y + dz * m1z)
-    vdet = (wx * e1[:, 0] + wy * e1[:, 1] + wz * e1[:, 2]
-            + dx * m2x + dy * m2y + dz * m2z)
-    tdet = c0 - (ox * nx + oy * ny + oz * nz)
-    safe_det = jnp.where(det == 0.0, f32(1.0), det)
-    u = jnp.where(hit, udet / safe_det, 0.0)
-    v = jnp.where(hit, vdet / safe_det, 0.0)
-    t = jnp.where(hit, tdet / safe_det, INF)
-    out = Hit(hit=hit, t=t, u=u, v=v, tri=tri)
+    t = jnp.where(hit, best_t, INF)
+    if not uvt:
+        # Occlusion contract (accel/traverse.nearest_hit docstring): only
+        # ``hit`` (and the bounded ``t``) are meaningful.
+        out = Hit(hit=hit, t=t, u=jnp.zeros_like(t), v=jnp.zeros_like(t),
+                  tri=jnp.where(hit, 0, -1))
+    else:
+        # Winner (u, v, triangle id) straight from the kernel's in-walk
+        # extraction — no gather, no recompute (the old (R, 16) slotgeo
+        # gather alone cost ~60 ms per 1M rays on v5e).
+        uvt_flat = uvt_flat[:r]
+        u = jnp.where(hit, uvt_flat[:, 0], 0.0)
+        v = jnp.where(hit, uvt_flat[:, 1], 0.0)
+        tri = jnp.where(hit, uvt_flat[:, 2].astype(i32), -1)
+        out = Hit(hit=hit, t=t, u=u, v=v, tri=tri)
     if return_iters:
         return out, _iters
     return out

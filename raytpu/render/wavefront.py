@@ -174,13 +174,20 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             # occluder alpha stays differentiable via the tri_color gather.
             shadow = jax.tree.map(jax.lax.stop_gradient, shadow)
         obstructed = shadow.hit & (shadow.t < sdist)
-        occ_transparent = scene.mat_transparent[
-            scene.mesh_material[scene.tri_mesh[shadow.tri]]
-        ]
-        occ_alpha = scene.tri_color[shadow.tri, 3]
-        light_amount = jnp.where(
-            obstructed, jnp.where(occ_transparent, occ_alpha, 1.0), 0.0
-        )
+        if scene.has_transparent:
+            occ_transparent = scene.mat_transparent[
+                scene.mesh_material[scene.tri_mesh[shadow.tri]]
+            ]
+            occ_alpha = scene.tri_color[shadow.tri, 3]
+            light_amount = jnp.where(
+                obstructed, jnp.where(occ_transparent, occ_alpha, 1.0), 0.0
+            )
+        else:
+            # Opaque scene: every occluder blocks fully — skip the
+            # occluder-material gathers (TPU row gathers are expensive, and
+            # the any_hit query's reported triangle is not meaningful
+            # anyway — accel/traverse.nearest_hit docstring).
+            light_amount = jnp.where(obstructed, 1.0, 0.0)
         total = total + contrib * (1.0 - light_amount)[..., None]
     return total
 

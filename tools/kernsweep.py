@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+UVT = False
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CONFIGS = {
@@ -54,7 +56,6 @@ def pack(origin, direction, ts):
 
     f32, i32 = jnp.float32, jnp.int32
     rr = origin.shape[0]
-    nt = rr // ts
     bits = lambda a: jax.lax.bitcast_convert_type(a, f32)
     packed = jnp.stack(
         [origin[:, 0], origin[:, 1], origin[:, 2],
@@ -64,7 +65,7 @@ def pack(origin, direction, ts):
          bits(jnp.full((rr,), -1, i32))]
         + [jnp.zeros((rr,), f32)] * (ROWS - 9),
         axis=0,
-    ).reshape(ROWS, nt, ts).transpose(1, 0, 2)
+    )  # (ROWS, R) — the kernel layout, tiles are column slices
     return jax.device_put(packed)
 
 
@@ -82,8 +83,12 @@ def main():
     p.add_argument("--res", type=int, default=1024)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--csize", type=int, default=128)
+    p.add_argument("--uvt", action="store_true",
+                   help="in-kernel winner (u, v, id) extraction on")
     p.add_argument("--configs", type=str, default=",".join(CONFIGS))
     args = p.parse_args()
+    global UVT
+    UVT = args.uvt
 
     names = args.configs.split(",")
     need_gblock = any(CONFIGS[n][0] for n in names)
@@ -111,20 +116,21 @@ def main():
         packed = packs[ts]
         fn = jax.jit(lambda p_, a, ro, b, mxu=mxu, prec=prec,
                      pretest=pretest, recull=recull, mt=max_trips,
-                     ng=ngrp: fused_mod.fused_tiles(
-                         p_, a, ro, b, has_ignore=False, mxu=mxu,
+                     ng=ngrp, ts=ts: fused_mod.fused_tiles(
+                         p_, a, ro, b, ts=ts, has_ignore=False, mxu=mxu,
                          mxu_precision=prec or "highest",
                          pretest=pretest, recull_every=recull,
-                         max_trips=mt, ngrp=ng))
+                         max_trips=mt, ngrp=ng, uvt=UVT))
         block = cl["gblock" if mxu else "block"]
         t0 = time.perf_counter()
-        bt, code, res, iters = fn(packed, cl["aabb"], cl["root"], block)
+        bt, code, uvt, res, iters = fn(packed, cl["aabb"], cl["root"], block)
         float(np.asarray(bt.sum()))
         compile_s = time.perf_counter() - t0
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            bt, code, res, iters = fn(packed, cl["aabb"], cl["root"], block)
+            bt, code, uvt, res, iters = fn(packed, cl["aabb"], cl["root"],
+                                           block)
             float(np.asarray(bt.sum()))
             times.append(time.perf_counter() - t0)
         best = min(times)
