@@ -84,7 +84,9 @@ def main():
             "pallas": Intersector.PALLAS,
             "tiled": Intersector.TILED,
         }[backend],
-        tile_pixels=int(os.environ.get("BENCH_TILE", 32768)),
+        # One lax.map body for the whole opaque frame (no refraction
+        # doubling): measured ~4% faster than 32k-ray tiles on v5e.
+        tile_pixels=int(os.environ.get("BENCH_TILE", res * res)),
         quantize=Quantize.NONE,
     )
     camera = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),

@@ -72,7 +72,10 @@ from jax.experimental.pallas import tpu as pltpu
 from raytpu.accel.traverse import Hit
 
 INF = 3.4028235e38
-NGRP = 4  # DMA pipeline depth in chunk groups (groups g+1.. in flight)
+# DMA pipeline depth in chunk groups (groups g+1.. in flight).  2 measured
+# ~5% faster than 4 on v5e at ts=256/kc=1: one group of lookahead hides the
+# HBM latency and deeper prefetch only wastes picks at settle.
+NGRP = 2
 ROWS = 16  # packed ray rows (o, d, tmax, itri, imesh, pad)
 
 
@@ -456,7 +459,9 @@ def _fused_kernel(
                     # out of the (TS, C) pass, so NO host-side gather or
                     # recompute is needed afterwards (the old epilogue's
                     # (R, 16) slotgeo gather alone cost as much as half the
-                    # walk at 1M rays).
+                    # walk at 1M rays).  Unconditional: gating on "any ray
+                    # improved" (pl.when) measured slower — the branch cost
+                    # outweighs the rare skip.
                     one = (code == pc).astype(f32)  # exactly one lane/ray
                     ud, vd, dd, ti = quants
                     sums = lambda q: jnp.sum(one * q, axis=1, keepdims=True)

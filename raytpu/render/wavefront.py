@@ -146,10 +146,14 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
         # occlusion, so their shadow rays are skipped outright (dead-lane
         # NaN direction).  Exact: 0 * (1 - shadow) == 0.
         lit = valid & jnp.any(contrib != 0.0, axis=-1)
+        # Shadow visibility is discrete — detach the query inputs in
+        # differentiable mode (outputs are stop-gradient'ed below; the
+        # Pallas kernel has no JVP rule).
+        sg = jax.lax.stop_gradient if cfg.differentiable else (lambda x: x)
         shadow = nearest_hit(
-            scene,
-            frag_pos,
-            jnp.where(lit[..., None], sdir, nanv),
+            jax.tree.map(sg, scene) if cfg.differentiable else scene,
+            sg(frag_pos),
+            sg(jnp.where(lit[..., None], sdir, nanv)),
             ignore_tri=hit_tri,
             cull=True,
             intersector=cfg.intersector,
@@ -162,7 +166,7 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             cull_phase1=cfg.cull_phase1,
             # Bound the search at the light: occluders beyond it are
             # irrelevant and unoccluded rays stop scanning early.
-            t_max=sdist,
+            t_max=sg(sdist),
             # Opaque scenes only need the occlusion boolean, so the query
             # may stop at the first qualifying hit.  Transparent scenes
             # need the *nearest* occluder (its alpha attenuates the light).
@@ -200,12 +204,18 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     tooling (render/debug.py) reuses this level's intersection instead of
     re-querying — the captured path is *the* renderer's computation, with
     no second query that could drift from it."""
+    # In differentiable mode the discrete query is detached (its outputs
+    # are stop-gradient'ed below and (u, v, t) recomputed), so detach its
+    # INPUTS too: AD then never enters the intersector at all — required
+    # for the Pallas kernel (no JVP rule) and pure savings elsewhere.
+    sg = jax.lax.stop_gradient if cfg.differentiable else (lambda x: x)
     hit = nearest_hit(
-        scene,
-        rays.origin,
+        jax.tree.map(sg, scene) if cfg.differentiable else scene,
+        sg(rays.origin),
         # Dead lanes become non-finite: they can never hit and the tiled
         # backends exclude them from cull-tile bounds (accel/tiled.py).
-        jnp.where(rays.alive[..., None], rays.direction, jnp.float32(jnp.nan)),
+        sg(jnp.where(rays.alive[..., None], rays.direction,
+                     jnp.float32(jnp.nan))),
         ignore_tri=rays.ignore_tri,
         ignore_mesh=rays.ignore_mesh,
         cull=True,

@@ -214,3 +214,22 @@ def test_sharded_grads_match_single_device_2d_mesh(crate):
             atol=1e-6,
         )
     assert np.isfinite(float(loss))
+
+
+def test_gradients_through_pallas_intersector():
+    """The fused Pallas kernel has no JVP rule: differentiable mode must
+    detach the query inputs so AD never enters it (regression for the
+    backward bench crash), while geometry gradients still flow through the
+    recompute path."""
+    from raytpu.config import Intersector
+
+    flat = crate_scene().flatten(build_octree=False, cluster_size=16)
+    cfg = diff_cfg(width=12, height=12, max_reflections=1,
+                   intersector=Intersector.PALLAS, cull_tile=16)
+    cam = default_camera()
+    params = extract_params(flat, GEOMETRY)
+    target = jnp.zeros((12 * 12, 3))
+    g = jax.grad(render_loss, argnums=2)(flat, cfg, params,
+                                         *camera_rays(cam, 12, 12), target)
+    total = sum(float(jnp.abs(v).sum()) for v in g.values())
+    assert np.isfinite(total) and total > 0.0
