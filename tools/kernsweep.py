@@ -40,11 +40,14 @@ CONFIGS = {
     "vpu-pre-b6": (False, None, True, 0, 256, 6),
 }
 
-# (mxu, precision, pretest, recull, ts, max_trips, ngrp)
-CONFIGS = {k: v + (4,) for k, v in CONFIGS.items()}
+# (mxu, precision, pretest, recull, ts, max_trips, ngrp, kc)
+CONFIGS = {k: v + (4, 1) for k, v in CONFIGS.items()}
 CONFIGS.update({
-    "vpu-g2": (False, None, False, 0, 256, 0, 2),
-    "vpu-ts512g2": (False, None, False, 0, 512, 0, 2),
+    "vpu-g2": (False, None, False, 0, 256, 0, 2, 1),
+    "vpu-ts512g2": (False, None, False, 0, 512, 0, 2, 1),
+    "vpu-g2k2": (False, None, False, 0, 256, 0, 2, 2),
+    "vpu-g2k4": (False, None, False, 0, 256, 0, 2, 4),
+    "vpu-ts128g2k2": (False, None, False, 0, 128, 0, 2, 2),
 })
 
 
@@ -108,7 +111,7 @@ def main():
     packs = {}
     ref_bt = None
     for name in names:
-        mxu, prec, pretest, recull, ts, max_trips, ngrp = CONFIGS[name]
+        mxu, prec, pretest, recull, ts, max_trips, ngrp, kc = CONFIGS[name]
         if ts not in packs:
             perm = block_order_perm(args.res, args.res, int(ts ** 0.5))
             packs[ts] = pack(jax.device_put(origin[perm]),
@@ -116,11 +119,11 @@ def main():
         packed = packs[ts]
         fn = jax.jit(lambda p_, a, ro, b, mxu=mxu, prec=prec,
                      pretest=pretest, recull=recull, mt=max_trips,
-                     ng=ngrp, ts=ts: fused_mod.fused_tiles(
+                     ng=ngrp, ts=ts, kc=kc: fused_mod.fused_tiles(
                          p_, a, ro, b, ts=ts, has_ignore=False, mxu=mxu,
                          mxu_precision=prec or "highest",
                          pretest=pretest, recull_every=recull,
-                         max_trips=mt, ngrp=ng, uvt=UVT))
+                         max_trips=mt, ngrp=ng, chunk_k=kc, uvt=UVT))
         block = cl["gblock" if mxu else "block"]
         t0 = time.perf_counter()
         bt, code, uvt, res, iters = fn(packed, cl["aabb"], cl["root"], block)
