@@ -50,6 +50,25 @@ class AviWriter:
         self.quality = quality
         self._frames: List[bytes] = []
         self._wh: Optional[tuple] = None
+        self._audio: Optional[tuple] = None
+
+    def set_audio(self, samples, sample_rate: int = 44100) -> None:
+        """Attach a PCM audio track (the AudioStream/AddAudioStream analog,
+        AudioStream.cs:22-124, AviManager.AddAudioStream).
+
+        ``samples``: (N,) mono or (N, channels) — int16, or float in
+        [-1, 1] (converted).  Written as an ``auds`` stream with a
+        PCMWAVEFORMAT header (Avi.cs PCMWAVEFORMAT) next to the video
+        stream; one ``01wb`` data chunk, indexed in idx1."""
+        arr = np.asarray(samples)
+        if arr.dtype != np.int16:
+            arr = (np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int16)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if arr.ndim != 2:
+            raise ValueError("samples must be (N,) or (N, channels)")
+        self._audio = (np.ascontiguousarray(arr.astype("<i2")),
+                       int(sample_rate))
 
     # -- frame ingestion ----------------------------------------------------
     def add_frame(self, frame) -> None:
@@ -96,6 +115,7 @@ class AviWriter:
         )
 
         # avih: MainAVIHeader (AVIFILEINFO analog, Avi.cs:120-139).
+        n_streams = 2 if self._audio is not None else 1
         avih = struct.pack(
             "<14I",
             int(1_000_000 / self.fps),  # dwMicroSecPerFrame
@@ -104,7 +124,7 @@ class AviWriter:
             0x10,  # dwFlags: AVIF_HASINDEX
             n,  # dwTotalFrames
             0,  # dwInitialFrames
-            1,  # dwStreams
+            n_streams,  # dwStreams
             frame_size,  # dwSuggestedBufferSize
             w, h, 0, 0, 0, 0,
         )
@@ -131,7 +151,35 @@ class AviWriter:
             return _fourcc("LIST") + struct.pack("<I", len(body)) + body
 
         strl = lst("strl", chunk("strh", strh) + chunk("strf", strf))
-        hdrl = lst("hdrl", chunk("avih", avih) + strl)
+        hdrl_body = chunk("avih", avih) + strl
+
+        audio_bytes = b""
+        if self._audio is not None:
+            # auds stream: AVISTREAMINFO + PCMWAVEFORMAT
+            # (AviManager.AddAudioStream / Avi.cs PCMWAVEFORMAT).
+            pcm, srate = self._audio
+            nch = pcm.shape[1]
+            block_align = 2 * nch
+            avg_bps = srate * block_align
+            audio_bytes = pcm.tobytes()
+            strh_a = struct.pack(
+                "<4s4sIHHIIIIIIII4i",
+                _fourcc("auds"), b"\x00" * 4, 0, 0, 0, 0,
+                block_align,  # dwScale
+                avg_bps,  # dwRate
+                0,
+                pcm.shape[0],  # dwLength in samples
+                avg_bps,  # dwSuggestedBufferSize
+                0xFFFFFFFF,
+                block_align,  # dwSampleSize
+                0, 0, 0, 0,
+            )
+            strf_a = struct.pack(
+                "<HHIIH", 1, nch, srate, avg_bps, block_align
+            ) + struct.pack("<H", 16)  # wBitsPerSample
+            hdrl_body += lst("strl", chunk("strh", strh_a)
+                             + chunk("strf", strf_a))
+        hdrl = lst("hdrl", hdrl_body)
 
         # movi chunks + idx1 index (AVIF_HASINDEX).
         movi_body = b""
@@ -141,6 +189,12 @@ class AviWriter:
         for f in self._frames:
             c = chunk(cc, f)
             index += _fourcc(cc) + struct.pack("<III", 0x10, offset, len(f))
+            movi_body += c
+            offset += len(c)
+        if audio_bytes:
+            c = chunk("01wb", audio_bytes)
+            index += _fourcc("01wb") + struct.pack(
+                "<III", 0x10, offset, len(audio_bytes))
             movi_body += c
             offset += len(c)
         movi = lst("movi", movi_body)

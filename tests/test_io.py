@@ -137,3 +137,57 @@ class TestImageIO:
         assert back.shape == (9, 11, 3)
         q = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
         np.testing.assert_array_equal(back, q)
+
+
+class TestAviAudio:
+    """PCM audio track (AudioStream.cs / AviManager.AddAudioStream analog)."""
+
+    def test_audio_track_round_trip(self, tmp_path):
+        p = str(tmp_path / "a.avi")
+        t = np.arange(4410) / 44100.0
+        tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        with AviWriter(p, fps=30, codec="DIB ") as w:
+            for f in _frames(2):
+                w.add_frame(f)
+            w.set_audio(tone, sample_rate=44100)
+
+        data = open(p, "rb").read()
+        info = _parse_avi(p)
+        assert info["streams"] == 2
+        # auds strh: fccType at the second strl.
+        i = data.index(b"auds")
+        strh = data[i:i + 56]
+        scale, rate = struct.unpack_from("<II", strh, 20)
+        assert scale == 2 and rate == 44100 * 2  # mono 16-bit PCM
+        # strf PCMWAVEFORMAT follows.
+        j = data.index(b"strf", i) + 8
+        tag, nch, srate, avg, align, bits = struct.unpack_from("<HHIIHH",
+                                                               data, j)
+        assert (tag, nch, srate, align, bits) == (1, 1, 44100, 2, 16)
+        assert avg == 44100 * 2
+        # 01wb data chunk round-trips the int16 samples.
+        k = data.index(b"01wb") + 8
+        sz = struct.unpack_from("<I", data, k - 4)[0]
+        pcm = np.frombuffer(data[k:k + sz], "<i2")
+        expect = (np.clip(tone, -1, 1) * 32767.0).astype(np.int16)
+        np.testing.assert_array_equal(pcm, expect)
+        # ...and it is indexed in idx1.
+        idx = data.index(b"idx1")
+        assert b"01wb" in data[idx:]
+
+    def test_stereo_int16(self, tmp_path):
+        p = str(tmp_path / "s.avi")
+        pcm = np.stack([np.arange(100, dtype=np.int16),
+                        -np.arange(100, dtype=np.int16)], axis=1)
+        with AviWriter(p, fps=30, codec="DIB ") as w:
+            w.add_frame(_frames(1)[0])
+            w.set_audio(pcm, sample_rate=8000)
+        data = open(p, "rb").read()
+        j = data.index(b"strf", data.index(b"auds")) + 8
+        tag, nch, srate, avg, align, bits = struct.unpack_from("<HHIIHH",
+                                                               data, j)
+        assert (nch, srate, align) == (2, 8000, 4)
+        k = data.index(b"01wb") + 8
+        sz = struct.unpack_from("<I", data, k - 4)[0]
+        got = np.frombuffer(data[k:k + sz], "<i2").reshape(-1, 2)
+        np.testing.assert_array_equal(got, pcm)
