@@ -1,2 +1,13 @@
-from raytpu.dist.mesh import make_mesh, replicate_scene  # noqa: F401
-from raytpu.dist.render import render_image_sharded, render_rays_sharded  # noqa: F401
+from raytpu.dist.bigscene import (  # noqa: F401
+    nearest_hit_ring,
+    shard_scene_clusters,
+)
+from raytpu.dist.mesh import (  # noqa: F401
+    hierarchical_pmean,
+    make_mesh,
+    replicate_scene,
+)
+from raytpu.dist.render import (  # noqa: F401
+    render_image_sharded,
+    render_rays_sharded,
+)

@@ -1,0 +1,279 @@
+"""Ring-sharded intersection — scenes larger than one chip's HBM.
+
+The SURVEY §7 stretch component: when the cluster tables cannot replicate
+(BASELINE config 5 scaled up), the TPU-native answer is NOT an out-of-core
+pager but a **ring**: partition the spatial cluster order into contiguous
+shards, one per device, and rotate RAY BLOCKS around the mesh with
+``ppermute`` — each hop intersects the visiting block against the device's
+resident shard with the block's running bests as per-ray search bounds, and
+a strict-min merge carries the winner along.  After ``N`` hops every ray
+has visited every shard and is back on its home device with the exact
+global nearest hit.
+
+Why this shape:
+
+- Geometry never moves: each device DMAs only its own shard from its own
+  HBM, every hop.  What rides ICI is the ray state (~48 B/ray) — orders of
+  magnitude smaller than the geometry, and ``ppermute`` overlaps with the
+  next hop's intersection work under XLA's scheduler.
+- The in-shard query is the SAME single-chip intersector (the fused Pallas
+  kernel on TPU, the tiled XLA path elsewhere) — the running best enters as
+  ``t_max``, so later shards' walks settle early wherever earlier shards
+  already found close hits (the front-to-back early-out now spans chips).
+- Contiguous shards of the median-split cluster order are spatially
+  compact, so per-shard root caps stay tight.
+
+Tie semantics: hits improve strictly (``t < best``), so an exact cross-
+shard distance tie resolves to the shard a ray visits FIRST (its home-ring
+order) — rotation-dependent, unlike the single-chip walk's entry-order
+tie-break.  Real scenes hit this with probability ~0; documented deviation.
+
+Shading tables are a separate concern: only the per-ray winner is shaded,
+so a >HBM renderer shards ``tri_shade`` the same way and resolves winner
+rows with one more ring pass (not built — intersection dominates both
+memory and time).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytpu.accel.traverse import Hit
+
+INF = 3.4028235e38
+
+
+class _ShardScene(NamedTuple):
+    """Duck-typed FlatScene for the intersectors (they read .clusters)."""
+
+    clusters: dict
+
+
+def shard_scene_clusters(flat, mesh: Mesh) -> dict:
+    """Split ``flat.clusters`` into per-device shards, sharded over ``mesh``.
+
+    Returns a dict of stacked arrays with leading dim ``mesh.size`` placed
+    so device i holds ONLY shard i (leading-axis sharding — the >HBM
+    property), plus per-shard cluster offsets for global winner codes:
+
+    - ``block``  (N, NCs, 24, C)  packed geometry rows of the shard
+    - ``aabb``   (N, 6, 8, NC8s)  the shard's cull table (+BIG padding)
+    - ``root``   (N, 1, 8)        per-shard root box + the global margin
+    - ``offs``   (N, 1)           global cluster index of the shard's first
+    """
+    cl = flat.clusters
+    n = mesh.size
+    cmin = np.asarray(cl["cluster_min"])
+    cmax = np.asarray(cl["cluster_max"])
+    block = np.asarray(cl["block"])
+    nc, _, csize = block.shape
+    ncs = -(-nc // n)
+    big = np.float32(3.4028235e38)
+    margin = float(np.asarray(cl["root"])[0, 6])
+
+    blocks, aabbs, roots, offs = [], [], [], []
+    for i in range(n):
+        lo, hi = i * ncs, min((i + 1) * ncs, nc)
+        k = hi - lo
+        b = np.zeros((ncs, 24, csize), np.float32)
+        if k > 0:
+            b[:k] = block[lo:hi]
+            # Padding blocks are all-zero => det == 0 => never accepted;
+            # their AABB rows stay zero, never consulted (padding columns
+            # are infeasible in the cull below).
+        blocks.append(b)
+        nc8 = max(128, ((-(-ncs // 8) + 127) // 128) * 128)
+        aabb = np.full((6, 8 * nc8), big, np.float32)
+        if k > 0:
+            aabb[0:3, :k] = cmin[lo:hi].T
+            aabb[3:6, :k] = cmax[lo:hi].T
+        aabbs.append(aabb.reshape(6, 8, nc8))
+        root = np.zeros((1, 8), np.float32)
+        if k > 0:
+            root[0, 0:3] = cmin[lo:hi].min(axis=0)
+            root[0, 3:6] = cmax[lo:hi].max(axis=0)
+        root[0, 6] = margin
+        roots.append(root)
+        offs.append([lo])
+
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    put = lambda a: jax.device_put(jnp.asarray(np.stack(a)), shard)
+    return {
+        "block": put(blocks),
+        "aabb": put(aabbs),
+        "root": put(roots),
+        "offs": put(np.asarray(offs, np.int32)),
+        "n_shards": n,
+        "csize": csize,
+    }
+
+
+def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
+                     ignore_tri=None, ignore_mesh=None, cull: bool = True,
+                     tile_size: int = 256, t_max=None,
+                     intersector: str = "auto") -> Hit:
+    """Exact nearest hit over ring-sharded geometry (module docstring).
+
+    ``origin``/``direction``: (R, 3) world rays (replicated or host
+    arrays); result order matches input order.
+    """
+    assert len(mesh.axis_names) == 1, "ring sharding wants a 1-D mesh"
+    axis = mesh.axis_names[0]
+    n = mesh.size
+    f32, i32 = jnp.float32, jnp.int32
+
+    r = origin.shape[0]
+    chunk = -(-r // n)
+    pad = chunk * n - r
+    o = jnp.asarray(origin, f32)
+    d = jnp.asarray(direction, f32)
+    itri = (jnp.full((r,), -1, i32) if ignore_tri is None
+            else jnp.asarray(ignore_tri, i32))
+    imesh = (jnp.full((r,), -1, i32) if ignore_mesh is None
+             else jnp.asarray(ignore_mesh, i32))
+    tmax = (jnp.full((r,), INF, f32) if t_max is None
+            else jnp.asarray(t_max, f32))
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), jnp.nan, f32)])
+        d = jnp.concatenate([d, jnp.full((pad, 3), jnp.nan, f32)])
+        itri = jnp.concatenate([itri, jnp.full((pad,), -1, i32)])
+        imesh = jnp.concatenate([imesh, jnp.full((pad,), -1, i32)])
+        tmax = jnp.concatenate([tmax, jnp.zeros((pad,), f32)])
+
+    use_fused = intersector == "pallas" or (
+        intersector == "auto"
+        and jax.default_backend() in ("tpu", "axon")
+        and shards["csize"] % 128 == 0
+    )
+
+    spec = P(axis)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec, spec, spec),
+        out_specs=(spec,) * 5,
+        check_vma=False,  # pallas_call under shard_map (see dist/render.py)
+    )
+    def ring(blk, aabb, root, o_, d_, it_, im_, tm_):
+        local = _ShardScene(clusters={
+            "block": blk[0],
+            "aabb": aabb[0],
+            "root": root[0],
+            # The tiled fallback reads these names:
+            "cluster_min": None, "cluster_max": None,
+        })
+        best = Hit(
+            hit=jnp.zeros(o_.shape[:1], bool),
+            t=jnp.full(o_.shape[:1], INF, f32),
+            u=jnp.zeros(o_.shape[:1], f32),
+            v=jnp.zeros(o_.shape[:1], f32),
+            tri=jnp.full(o_.shape[:1], -1, i32),
+        )
+        state = (o_, d_, it_, im_, tm_, best)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        for _ in range(n):
+            o2, d2, it2, im2, tm2, best = state
+            cap = jnp.minimum(tm2, best.t)
+            h = _local_query(local, o2, d2, it2, im2, cap, cull,
+                             tile_size, use_fused)
+            upd = h.hit & (h.t < best.t)
+            best = Hit(
+                hit=best.hit | upd,
+                t=jnp.where(upd, h.t, best.t),
+                u=jnp.where(upd, h.u, best.u),
+                v=jnp.where(upd, h.v, best.v),
+                tri=jnp.where(upd, h.tri, best.tri),
+            )
+            state = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, perm),
+                (o2, d2, it2, im2, tm2, best),
+            )
+        # n rotations = identity: every block is home with its answer.
+        best = state[5]
+        return best.hit, best.t, best.u, best.v, best.tri
+
+    hit, t, u, v, tri = ring(
+        shards["block"], shards["aabb"], shards["root"],
+        o, d, itri, imesh, tmax,
+    )
+    flat = lambda a: a.reshape(n * chunk)[:r]
+    t = flat(t)
+    hit = flat(hit)
+    return Hit(hit=hit, t=jnp.where(hit, t, INF), u=flat(u), v=flat(v),
+               tri=flat(tri))
+
+
+def _local_query(local, o, d, itri, imesh, cap, cull, tile_size, use_fused):
+    if use_fused:
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        return nearest_hit_fused(local, o, d, ignore_tri=itri,
+                                 ignore_mesh=imesh, cull=cull,
+                                 tile_size=tile_size, t_max=cap)
+    # XLA fallback: a dense front-to-back chunk scan needs the per-cluster
+    # triangle arrays; reconstruct the dict views the tiled path reads from
+    # the packed block is overkill — run the brute Möller–Trumbore over the
+    # shard's packed geometry instead (exact, VPU-shaped).
+    return _brute_from_block(local.clusters, o, d, itri, imesh, cap, cull)
+
+
+def _brute_from_block(cl, o, d, itri, imesh, cap, cull):
+    """Dense exact sweep straight off the packed (NCs, 24, C) block.
+
+    Evaluates the same det-space Möller–Trumbore the kernel runs (rows 0-17
+    of the block — see accel/clusters.py), blocked per cluster via scan.
+    """
+    block = cl["block"]
+    r = o.shape[0]
+    f32, i32 = jnp.float32, jnp.int32
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    wx = dy * oz - dz * oy
+    wy = dz * ox - dx * oz
+    wz = dx * oy - dy * ox
+
+    def body(carry, g):
+        best_t, best_u, best_v, best_tri = carry
+        row = lambda k: g[k:k + 1, :]
+        det = dx * row(0) + dy * row(1) + dz * row(2)
+        udet = (wx * row(6) + wy * row(7) + wz * row(8)
+                + dx * row(3) + dy * row(4) + dz * row(5))
+        vdet = (wx * row(12) + wy * row(13) + wz * row(14)
+                + dx * row(9) + dy * row(10) + dz * row(11))
+        tdet = row(15) - (ox * row(0) + oy * row(1) + oz * row(2))
+        if cull:
+            ok = ((udet <= 0.0) & (vdet <= 0.0) & (tdet <= 0.0)
+                  & (udet + vdet >= det) & (det < 0.0))
+        else:
+            s = jnp.where(det < 0.0, f32(-1.0), f32(1.0))
+            us, vs, ts_, ps = udet * s, vdet * s, tdet * s, det * s
+            ok = ((us >= 0.0) & (vs >= 0.0) & (ts_ >= 0.0)
+                  & (us + vs <= ps) & (ps > 0.0))
+        tid = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+        tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
+        ok &= (tid != itri[:, None]) & (tmesh != imesh[:, None])
+        dist = jnp.where(ok, tdet / det, INF)
+        j = jnp.argmin(dist, axis=1)
+        rr = jnp.arange(r)
+        cand = dist[rr, j]
+        upd = cand < best_t
+        safe_det = det[rr, j]
+        safe_det = jnp.where(safe_det == 0.0, f32(1.0), safe_det)
+        best_u = jnp.where(upd, udet[rr, j] / safe_det, best_u)
+        best_v = jnp.where(upd, vdet[rr, j] / safe_det, best_v)
+        best_tri = jnp.where(upd, tid[0, j], best_tri)
+        best_t = jnp.where(upd, cand, best_t)
+        return (best_t, best_u, best_v, best_tri), None
+
+    init = (cap, jnp.zeros((r,), f32), jnp.zeros((r,), f32),
+            jnp.full((r,), -1, i32))
+    (bt, bu, bv, btri), _ = jax.lax.scan(body, init, block)
+    hit = btri >= 0
+    return Hit(hit=hit, t=jnp.where(hit, bt, INF), u=bu, v=bv, tri=btri)

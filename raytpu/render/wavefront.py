@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from raytpu.accel.traverse import nearest_hit
 from raytpu.core import intersect
 from raytpu.config import Quantize, RenderConfig, RenderMode
-from raytpu.core.camera import Camera, camera_rays, rays_through_screen
-from raytpu.core.math3d import dot, normalize, reflect, refract_xna
+from raytpu.core.camera import Camera, camera_rays
+from raytpu.core.math3d import normalize, reflect, refract_xna
 from raytpu.core.xna import quantize_color
 from raytpu.scene import lights as lights_mod
 from raytpu.scene import texture as texture_mod

@@ -1,6 +1,7 @@
 """Sharded rendering on the 8-device virtual CPU mesh (SURVEY.md §4 item 5)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -55,3 +56,77 @@ def test_ragged_ray_count(flat):
     ref = np.asarray(render_image(flat, cfg, cam))
     assert img.shape == (13, 19, 3)
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+class TestRingShardedBigScene:
+    """Ring-sharded intersection (dist/bigscene.py): geometry sharded over
+    the mesh, rays rotated with ppermute — the >HBM scene path."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from tests.scenes import sphere_and_plane_scene
+
+        fl = sphere_and_plane_scene().flatten(build_octree=False,
+                                              cluster_size=16)
+        return fl
+
+    def _rays(self, n=96, seed=5):
+        rng = np.random.default_rng(seed)
+        o = rng.uniform(-18, 18, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def test_matches_single_device(self, setup):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.dist.bigscene import nearest_hit_ring, shard_scene_clusters
+        from raytpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[:4])
+        shards = shard_scene_clusters(setup, mesh)
+        # Each shard holds only ~1/4 of the cluster blocks.
+        n_local = shards["block"].shape[1]
+        total = setup.clusters["block"].shape[0]
+        assert n_local <= -(-total // 4) + 1
+
+        o, d = self._rays()
+        hr = nearest_hit_ring(shards, o, d, mesh)
+        hb = nearest_hit_brute(setup, o, d, block=256)
+        np.testing.assert_array_equal(np.asarray(hr.hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hr.t)[m], np.asarray(hb.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hr.tri)[m],
+                                      np.asarray(hb.tri)[m])
+
+    def test_t_max_and_ignore(self, setup):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.dist.bigscene import nearest_hit_ring, shard_scene_clusters
+        from raytpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[:4])
+        shards = shard_scene_clusters(setup, mesh)
+        o, d = self._rays(64, seed=9)
+        hb0 = nearest_hit_brute(setup, o, d, block=256)
+        itri = jnp.where(jnp.arange(64) % 2 == 0, hb0.tri, -1).astype(
+            jnp.int32)
+        tmax = jnp.full((64,), 15.0, jnp.float32)
+        hr = nearest_hit_ring(shards, o, d, mesh, ignore_tri=itri,
+                              t_max=tmax)
+        hb = nearest_hit_brute(setup, o, d, ignore_tri=itri, block=256,
+                               t_max=tmax)
+        np.testing.assert_array_equal(np.asarray(hr.hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_array_equal(np.asarray(hr.tri)[m],
+                                      np.asarray(hb.tri)[m])
+
+    def test_ragged_ray_count_pads(self, setup):
+        from raytpu.dist.bigscene import nearest_hit_ring, shard_scene_clusters
+        from raytpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[:4])
+        shards = shard_scene_clusters(setup, mesh)
+        o, d = self._rays(37, seed=2)  # not divisible by 4
+        hr = nearest_hit_ring(shards, o, d, mesh)
+        assert hr.hit.shape == (37,)
