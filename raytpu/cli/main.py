@@ -258,6 +258,17 @@ def cmd_animate(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive terminal viewer (cli/interactive.py)."""
+    from raytpu.cli.interactive import run_interactive
+
+    scene, _scene_cam = _load_scene(args)
+    flat = _flatten(scene, args)
+    cfg = _config(args)
+    run_interactive(flat, cfg)
+    return 0
+
+
 def cmd_fit(args) -> int:
     """Inverse rendering: recover geometry/texture from a target image."""
     import jax
@@ -359,6 +370,11 @@ def main(argv=None) -> int:
                     help="reuse frame PNGs already in --frame-dir")
     pa.set_defaults(out="turntable.avi")
 
+    pv = sub.add_parser("view", help="interactive terminal viewer "
+                                     "(WASD camera, Enter traces — the "
+                                     "Game1 keyboard shell analog)")
+    _add_common(pv)
+
     pf = sub.add_parser("fit", help="inverse-rendering optimization")
     _add_common(pf)
     pf.add_argument("--steps", type=int, default=100)
@@ -374,6 +390,8 @@ def main(argv=None) -> int:
         return cmd_render(args)
     if args.cmd == "animate":
         return cmd_animate(args)
+    if args.cmd == "view":
+        return cmd_view(args)
     if args.cmd == "fit":
         return cmd_fit(args)
     return 1

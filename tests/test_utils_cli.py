@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 from raytpu.utils.profiling import PhaseTimer, render_stats
 
@@ -158,3 +159,77 @@ scale = [1.0, 2.0, 1.0]
         np.testing.assert_allclose(
             obj.rotation, (-math.pi / 2, math.pi / 4, 0.0), atol=1e-6)
         np.testing.assert_allclose(obj.scale, (1.0, 2.0, 1.0))
+
+
+class TestInteractiveViewer:
+    """Interactive shell state machine (cli/interactive.py): the Game1
+    keyboard loop analog — camera keys, Enter-to-trace, Space toggle,
+    diagnostic-mode cycling, ANSI half-block display."""
+
+    @pytest.fixture(scope="class")
+    def sess(self):
+        from raytpu.cli.interactive import InteractiveSession
+        from raytpu.config import Intersector, RenderConfig
+        from tests.scenes import sphere_and_plane_scene
+
+        flat = sphere_and_plane_scene().flatten(leaf_threshold=16,
+                                                max_depth=8)
+        cfg = RenderConfig(width=32, height=32, max_reflections=1,
+                           intersector=Intersector.BRUTE, tile_pixels=1024)
+        return InteractiveSession(flat, cfg, preview_res=24)
+
+    def test_camera_keys_move_the_camera(self, sess):
+        c0 = sess.camera()
+        assert sess.handle_key("a") == "move"
+        assert sess.handle_key("w") == "move"
+        c1 = sess.camera()
+        assert not np.allclose(c0.position, c1.position)
+        assert sess.radius < 35.0  # w dollied in
+
+    def test_preview_and_trace_and_toggle(self, sess):
+        pv = sess.render_preview()
+        assert pv.shape == (24, 24, 3) and pv.any()
+        assert sess.handle_key("\r") == "trace"
+        calls = []
+        img = sess.render_full(progress=lambda d, t: calls.append((d, t)))
+        assert img.shape == (32, 32, 3) and img.any()
+        assert calls and calls[-1][0] == calls[-1][1]  # progress completed
+        assert sess.showing_trace
+        assert sess.handle_key(" ") == "toggle" and not sess.showing_trace
+        assert sess.handle_key(" ") == "toggle" and sess.showing_trace
+        np.testing.assert_array_equal(sess.current_image(), img)
+        # Moving the camera drops back to the (stale-free) preview.
+        sess.handle_key("d")
+        assert not sess.showing_trace
+
+    def test_mode_cycle_changes_preview(self, sess):
+        from raytpu.config import RenderMode
+
+        sess.mode = RenderMode.SHADED
+        shaded = sess.render_preview()
+        assert sess.handle_key("n") == "mode"
+        assert sess.mode == RenderMode.NORMALS
+        normals = sess.render_preview()
+        assert not np.allclose(shaded, normals)
+        sess.handle_key("n")
+        sess.handle_key("n")
+        assert sess.mode == RenderMode.SHADED
+
+    def test_quit_and_noop(self, sess):
+        assert sess.handle_key("q") == "quit"
+        assert sess.handle_key("\x1b") == "quit"
+        assert sess.handle_key("z") == "noop"
+
+    def test_ansi_image(self):
+        from raytpu.cli.interactive import ansi_image
+
+        img = np.zeros((4, 3, 3), np.float32)
+        img[0, 0] = (1.0, 0.0, 0.0)   # top-left red
+        txt = ansi_image(img)
+        lines = txt.split("\n")
+        assert len(lines) == 2  # 4 rows -> 2 half-block lines
+        assert "\x1b[38;2;255;0;0m" in lines[0]  # red foreground
+        assert txt.count("▀") == 6
+        # Odd height pads; wide images downsample to <= max_cols.
+        txt2 = ansi_image(np.zeros((5, 240, 3)), max_cols=80)
+        assert all(l.count("▀") <= 80 for l in txt2.split("\n"))
