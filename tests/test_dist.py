@@ -78,7 +78,8 @@ class TestRingShardedBigScene:
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         return jnp.asarray(o), jnp.asarray(d)
 
-    def test_matches_single_device(self, setup):
+    @pytest.mark.parametrize("intersector", ["auto", "pallas"])
+    def test_matches_single_device(self, setup, intersector):
         from raytpu.accel.traverse import nearest_hit_brute
         from raytpu.dist.bigscene import nearest_hit_ring, shard_scene_clusters
         from raytpu.dist.mesh import make_mesh
@@ -91,7 +92,7 @@ class TestRingShardedBigScene:
         assert n_local <= -(-total // 4) + 1
 
         o, d = self._rays()
-        hr = nearest_hit_ring(shards, o, d, mesh)
+        hr = nearest_hit_ring(shards, o, d, mesh, intersector=intersector)
         hb = nearest_hit_brute(setup, o, d, block=256)
         np.testing.assert_array_equal(np.asarray(hr.hit), np.asarray(hb.hit))
         m = np.asarray(hb.hit)
