@@ -195,13 +195,11 @@ class ClusterTable:
         root[0, 3:6] = root_max
         root[0, 6] = margin
 
-        # The fused kernel returns the winner's triangle id as an exact
-        # f32 VALUE extracted in-walk (kernels/fused.py uvt mode): ids must
-        # be exactly representable.
-        assert tri_id.max(initial=-1) < (1 << 24), (
-            "triangle ids >= 2^24 are not exactly representable as f32; "
-            "the fused kernel's in-walk winner extraction requires <16.7M "
-            "triangles per scene")
+        # NOTE: the fused kernel's uvt mode returns the winner's triangle
+        # id as an exact f32 VALUE, which requires ids < 2^24 — enforced at
+        # QUERY time (kernels/fused.py), not here: other backends (tiled,
+        # brute, octree, the ring's dense fallback) and any_hit queries
+        # have no such limit, and >HBM scenes must still bake.
 
         out = {
             "cluster_min": jnp.asarray(self.cluster_min),

@@ -35,12 +35,40 @@ from raytpu.config import RenderConfig, RenderMode
 
 #: Key bindings (Game1.cs:236-287 analog).
 HELP = """\
- w/s      dolly forward / back        a/d   orbit left / right
- r/f      rise / sink                 +/-   zoom (fov)
+ w/s      dolly forward / back        a/d or ←/→  orbit left / right
+ r/f or ↑/↓  rise / sink              +/-   zoom (fov)
  Enter    full-quality trace          Space toggle preview / traced
  n        cycle shaded/normals/convex h     help
  q / Esc  quit
 """
+
+#: CSI final bytes → the equivalent letter command (arrow-key orbit,
+#: Game1.cs arrows).
+_CSI_KEYS = {"A": "r", "B": "f", "C": "d", "D": "a"}
+
+
+def _read_key(stdin) -> str:
+    """One logical key: decodes ESC [ X arrow sequences (a bare ESC —
+    nothing following within 50 ms — stays ESC = quit).
+
+    Reads bytes with ``os.read`` on the raw fd: buffered ``file.read``
+    would swallow the bracket byte into Python's buffer and make the
+    ``select`` probe miss it."""
+    import os as _os
+    import select
+
+    fd = stdin.fileno()
+    rd = lambda: _os.read(fd, 1).decode(errors="ignore")
+    ch = rd()
+    if ch != "\x1b":
+        return ch
+    if not select.select([fd], [], [], 0.05)[0]:
+        return ch  # bare Escape
+    nxt = rd()
+    if nxt != "[":
+        return ch
+    fin = rd()
+    return _CSI_KEYS.get(fin, "")  # unknown CSI -> noop
 
 
 def ansi_image(img: np.ndarray, max_cols: int = 100) -> str:
@@ -204,7 +232,7 @@ def run_interactive(flat_scene, cfg: RenderConfig, out=sys.stdout,
     try:
         tty.setcbreak(fd)
         while True:
-            key = sys.stdin.read(1)
+            key = _read_key(sys.stdin)
             action = sess.handle_key(key)
             if action == "quit":
                 break

@@ -27,10 +27,10 @@ import numpy as np
 
 def _build_scene(name: str, reflect: float, transparent: bool):
     from raytpu.scene.lights import SpotLight
-    from raytpu.scene.procedural import box, plane, uv_sphere
+    from raytpu.scene.procedural import box, checker_texture, plane, uv_sphere
     from raytpu.scene.types import Material, Scene, SceneObject
 
-    checker = _checker_texture()
+    checker = checker_texture()
     ground_mat = Material(use_texture=True, texture=checker,
                           reflectiveness=0.0)
     light = SpotLight(position=(0.0, 5.0, 20.0),
@@ -78,14 +78,6 @@ def _build_scene(name: str, reflect: float, transparent: bool):
             lights=[light],
         )
     raise SystemExit(f"unknown builtin scene {name!r}")
-
-
-def _checker_texture(n: int = 8, size: int = 256) -> np.ndarray:
-    """checkers.bmp stand-in (the reference ships one in its content)."""
-    y, x = np.mgrid[0:size, 0:size]
-    cells = ((x * n // size) + (y * n // size)) % 2
-    img = np.where(cells[..., None] > 0, 220.0, 40.0)
-    return np.repeat(img, 3, axis=-1).reshape(size, size, 3).astype(np.float32)
 
 
 def _load_scene(args):

@@ -60,12 +60,12 @@ def shard_scene_clusters(flat, mesh: Mesh) -> dict:
 
     Returns a dict of stacked arrays with leading dim ``mesh.size`` placed
     so device i holds ONLY shard i (leading-axis sharding — the >HBM
-    property), plus per-shard cluster offsets for global winner codes:
+    property).  Winner triangle ids need no offset fix-up: block row 16
+    already carries GLOBAL ids.
 
     - ``block``  (N, NCs, 24, C)  packed geometry rows of the shard
     - ``aabb``   (N, 6, 8, NC8s)  the shard's cull table (+BIG padding)
     - ``root``   (N, 1, 8)        per-shard root box + the global margin
-    - ``offs``   (N, 1)           global cluster index of the shard's first
     """
     cl = flat.clusters
     n = mesh.size
@@ -77,7 +77,7 @@ def shard_scene_clusters(flat, mesh: Mesh) -> dict:
     big = np.float32(3.4028235e38)
     margin = float(np.asarray(cl["root"])[0, 6])
 
-    blocks, aabbs, roots, offs = [], [], [], []
+    blocks, aabbs, roots = [], [], []
     for i in range(n):
         lo, hi = i * ncs, min((i + 1) * ncs, nc)
         k = hi - lo
@@ -100,7 +100,6 @@ def shard_scene_clusters(flat, mesh: Mesh) -> dict:
             root[0, 3:6] = cmax[lo:hi].max(axis=0)
         root[0, 6] = margin
         roots.append(root)
-        offs.append([lo])
 
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
@@ -109,9 +108,12 @@ def shard_scene_clusters(flat, mesh: Mesh) -> dict:
         "block": put(blocks),
         "aabb": put(aabbs),
         "root": put(roots),
-        "offs": put(np.asarray(offs, np.int32)),
         "n_shards": n,
         "csize": csize,
+        # Global slot count: the fused in-shard path's f32 winner-id
+        # extraction needs GLOBAL ids < 2^24 (ids in block row 16 are
+        # global) — checked in nearest_hit_ring.
+        "global_slots": nc * csize,
     }
 
 
@@ -147,11 +149,16 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
         imesh = jnp.concatenate([imesh, jnp.full((pad,), -1, i32)])
         tmax = jnp.concatenate([tmax, jnp.zeros((pad,), f32)])
 
-    use_fused = intersector == "pallas" or (
-        intersector == "auto"
-        and jax.default_backend() in ("tpu", "axon")
-        and shards["csize"] % 128 == 0
-    )
+    on_hw = jax.default_backend() in ("tpu", "axon")
+    use_fused = intersector == "pallas" or (intersector == "auto" and on_hw)
+    if on_hw and shards["csize"] % 128 != 0:
+        # Mosaic DMA slices must be 128-lane aligned; the dense sweep off
+        # the packed block is the exact fallback (NOT nearest_hit_tiled,
+        # which would need per-shard triangle SoA tables we don't ship).
+        use_fused = False
+    if shards.get("global_slots", 0) >= (1 << 24):
+        # The fused uvt winner-id extraction needs f32-exact GLOBAL ids.
+        use_fused = False
 
     spec = P(axis)
 
@@ -166,8 +173,6 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
             "block": blk[0],
             "aabb": aabb[0],
             "root": root[0],
-            # The tiled fallback reads these names:
-            "cluster_min": None, "cluster_max": None,
         })
         best = Hit(
             hit=jnp.zeros(o_.shape[:1], bool),

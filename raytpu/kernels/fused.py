@@ -743,6 +743,14 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
             "mxu=True requires the gblock bake: flatten the scene with "
             "build_gblock=True")
     csize = cl["block"].shape[2]
+    if not any_hit and cl["block"].shape[0] * csize >= (1 << 24):
+        # uvt mode rides the winner's triangle id through f32 one-hot sums,
+        # exact only below 2^24.  (any_hit queries never extract ids; other
+        # backends have no limit.)
+        raise ValueError(
+            "the fused kernel's in-walk winner extraction requires < 16.7M "
+            "triangle slots (ids must be f32-exact); use Intersector.TILED "
+            "or ring sharding (dist/bigscene.py) for larger scenes")
     if not interpret and csize % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; small test clusters
         # run through the exact XLA backend instead.

@@ -97,6 +97,12 @@ def _material(tbl: dict, base_dir: str) -> Material:
         m.use_texture = True
     if "use_texture" in tbl:
         m.use_texture = bool(tbl["use_texture"])
+    if m.use_texture and m.texture is None:
+        # The reference pairs UseTexture with TextureFilePath; silently
+        # sampling a missing texture would render garbage colors.
+        raise ValueError(
+            "material sets use_texture = true but no `texture` key "
+            "(builtin name or image path)")
     return m
 
 
@@ -105,28 +111,34 @@ def _meshes(tbl: dict, material: Material, base_dir: str, convex: bool):
 
     spec = tbl.get("mesh", "sphere")
     if spec == "sphere":
-        return [procedural.uv_sphere(
+        meshes = [procedural.uv_sphere(
             radius=float(tbl.get("radius", 1.0)),
             stacks=int(tbl.get("stacks", 24)),
             slices=int(tbl.get("slices", 48)),
-            material=material, convex=convex)]
-    if spec == "plane":
+            material=material)]
+    elif spec == "plane":
         size = tbl.get("size", [40.0, 40.0])
-        return [procedural.plane(size=_vec(size, 2), material=material)]
-    if spec == "box":
+        meshes = [procedural.plane(size=_vec(size, 2), material=material)]
+    elif spec == "box":
         size = tbl.get("size", [1.0, 1.0, 1.0])
-        return [procedural.box(size=_vec(size, 3), material=material)]
-    path = os.path.join(base_dir, spec)
-    ext = os.path.splitext(path)[1].lower()
-    if ext == ".obj":
-        from raytpu.scene.obj_loader import load_obj
+        meshes = [procedural.box(size=_vec(size, 3), material=material)]
+    else:
+        path = os.path.join(base_dir, spec)
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            from raytpu.scene.obj_loader import load_obj
 
-        return [load_obj(path, material=material, convex=convex)]
-    if ext == ".fbx":
-        from raytpu.scene.fbx_loader import load_fbx
+            meshes = [load_obj(path, material=material)]
+        elif ext == ".fbx":
+            from raytpu.scene.fbx_loader import load_fbx
 
-        return load_fbx(path, material=material)
-    raise ValueError(f"unknown mesh spec {spec!r}")
+            meshes = load_fbx(path, material=material)
+        else:
+            raise ValueError(f"unknown mesh spec {spec!r}")
+    # convexGeometry applies to every mesh kind (Triangle.cs:22).
+    for m in meshes:
+        m.convex = convex
+    return meshes
 
 
 def _rotation(tbl: dict):

@@ -233,3 +233,79 @@ class TestInteractiveViewer:
         # Odd height pads; wide images downsample to <= max_cols.
         txt2 = ansi_image(np.zeros((5, 240, 3)), max_cols=80)
         assert all(l.count("▀") <= 80 for l in txt2.split("\n"))
+
+
+def test_toml_convex_applies_to_all_mesh_kinds(tmp_path):
+    from raytpu.scene.sceneformat import load_scene_toml
+
+    p = tmp_path / "c.toml"
+    p.write_text("""
+[[objects]]
+mesh = "box"
+convex = true
+
+[[objects]]
+mesh = "plane"
+convex = true
+""")
+    scene, _ = load_scene_toml(str(p))
+    assert all(m.convex for o in scene.objects for m in o.meshes)
+
+
+def test_toml_use_texture_without_texture_raises(tmp_path):
+    from raytpu.scene.sceneformat import load_scene_toml
+
+    p = tmp_path / "bad.toml"
+    p.write_text("""
+[[objects]]
+mesh = "box"
+  [objects.material]
+  use_texture = true
+""")
+    with pytest.raises(ValueError, match="use_texture"):
+        load_scene_toml(str(p))
+
+
+def test_interactive_arrow_key_decode():
+    import io
+
+    from raytpu.cli.interactive import _read_key
+
+    class FakeStdin(io.StringIO):
+        def fileno(self):
+            raise io.UnsupportedOperation
+
+    # select() needs a real fd; emulate with a pipe.
+    import os as _os
+
+    r, w = _os.pipe()
+    _os.write(w, b"\x1b[Ax\x1b[Z")
+    with _os.fdopen(r, "r") as f:
+        assert _read_key(f) == "r"      # Up arrow -> rise
+        assert _read_key(f) == "x"      # plain key passes through
+        assert _read_key(f) == ""       # unknown CSI -> noop
+    _os.close(w)
+
+
+def test_fused_uvt_id_limit_message():
+    """Scenes >= 2^24 triangle slots are rejected by the fused uvt path
+    with a clear error (other backends have no limit)."""
+    import jax.numpy as jnp
+
+    from raytpu.kernels.fused import nearest_hit_fused
+    from tests.scenes import sphere_and_plane_scene
+
+    flat = sphere_and_plane_scene().flatten(build_octree=False,
+                                            cluster_size=16)
+    # Fake an enormous slot count by lying about the block's leading dim
+    # via a zero-copy broadcast view of the dict entry.
+    big = dict(flat.clusters)
+    nrep = (1 << 24) // (big["block"].shape[1] * 0 + big["block"].shape[0]
+                         * big["block"].shape[2]) + 1
+    big["block"] = jnp.broadcast_to(
+        big["block"][:1], (nrep * big["block"].shape[0],) +
+        big["block"].shape[1:])
+    fake = flat.replace(clusters=big)
+    o = jnp.zeros((4, 3)); d = jnp.ones((4, 3))
+    with pytest.raises(ValueError, match="16.7M"):
+        nearest_hit_fused(fake, o, d, tile_size=4, interpret=True)
