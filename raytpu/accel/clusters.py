@@ -271,14 +271,20 @@ def _median_split_leaves(centroids: np.ndarray, idx: np.ndarray,
 
 def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
                    valid: Optional[np.ndarray] = None,
-                   method: str = "median") -> ClusterTable:
+                   method: str = "median",
+                   pad_clusters_to: Optional[int] = None) -> ClusterTable:
     """Cluster ``tri_verts`` (T, 3, 3) into fixed-size spatial groups.
 
     ``method="median"`` (default): spatial-median BVH leaves, tight and
     nearly disjoint (see _median_split_leaves).  ``method="morton"``: the
     round-1 fixed-length Morton-run clustering (kept for comparison).
     O(T log T) host time either way; rebuilds are cheap enough to run
-    per-epoch while fitting geometry (diff/fit.py).
+    per-epoch while fitting geometry (diff/fit.py ``rebuild_every``).
+
+    ``pad_clusters_to``: pad the table to a fixed cluster count with
+    infeasible (±big AABB, empty) clusters so per-epoch rebuilds keep
+    every device-array shape stable — the jitted fit step then never
+    recompiles across rebuilds.
     """
     v = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
     t = v.shape[0]
@@ -316,6 +322,15 @@ def build_clusters(tri_verts: np.ndarray, cluster_size: int = 128,
         nc = max(1, -(-n // cluster_size))
         slots = np.full(nc * cluster_size, -1, np.int64)
         slots[:n] = order
+
+    if pad_clusters_to is not None:
+        if pad_clusters_to < nc:
+            raise ValueError(
+                f"pad_clusters_to={pad_clusters_to} < built count {nc}")
+        pad = (pad_clusters_to - nc) * cluster_size
+        if pad:
+            slots = np.concatenate([slots, np.full(pad, -1, np.int64)])
+        nc = pad_clusters_to
 
     member = v[np.maximum(slots, 0)]  # (Tp, 3, 3)
     big = np.float32(3.4028235e38)

@@ -52,6 +52,12 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
     """Build a jitted ``step(params, opt_state, origin, direction, target)
     -> (params, opt_state, loss)``.
 
+    The scene enters the jitted program as an ARGUMENT (not a closure
+    constant): triangle/texture tables never bloat the HLO, and swapping
+    in a rebuilt scene of identical shapes — per-epoch acceleration
+    rebuilds (``fit(rebuild_every=...)``) — reuses the compiled step with
+    no retrace.  Use ``step.set_scene(new_scene)`` to swap.
+
     With a mesh, rays/targets are expected pre-sharded along dim 0 (equal
     per-device blocks); params/opt_state are replicated and gradients are
     psum-averaged across the mesh.
@@ -61,44 +67,80 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
     if mesh is None:
 
         @jax.jit
-        def step(params, opt_state, origin, direction, target):
+        def _impl(scene_, params, opt_state, origin, direction, target):
             loss, grads = jax.value_and_grad(render_loss, argnums=2)(
-                scene, cfg, params, origin, direction, target
+                scene_, cfg, params, origin, direction, target
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        return step
+    else:
+        axes = mesh.axis_names
+        spec = P(axes if len(axes) > 1 else axes[0])
 
-    axes = mesh.axis_names
-    spec = P(axes if len(axes) > 1 else axes[0])
-
-    @jax.jit
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), spec, spec, spec),
-        out_specs=(P(), P(), P()),
-    )
-    def step(params, opt_state, origin, direction, target):
-        from raytpu.dist.mesh import hierarchical_pmean, pvary_tree
-
-        scene_var = pvary_tree(scene, axes)
-        params_var = pvary_tree(params, axes)
-        loss, grads = jax.value_and_grad(render_loss, argnums=2)(
-            scene_var, cfg, params_var, origin, direction, target
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), spec, spec, spec),
+            out_specs=(P(), P(), P()),
         )
-        # Gradient all-reduce over ICI(+DCN), overlapped with remaining
-        # backward work by XLA; equal shard sizes → psum-mean is the global
-        # gradient of the global mean loss.  On a 2-D ("hosts", "chips")
-        # mesh this is the hierarchical reduce_scatter-over-chips +
-        # psum-over-hosts form (dist/mesh.py::hierarchical_pmean).
-        grads = hierarchical_pmean(grads, mesh)
-        loss = jax.lax.pmean(loss, axes)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        def _impl(scene_, params, opt_state, origin, direction, target):
+            from raytpu.dist.mesh import hierarchical_pmean, pvary_tree
 
+            scene_var = pvary_tree(scene_, axes)
+            params_var = pvary_tree(params, axes)
+            loss, grads = jax.value_and_grad(render_loss, argnums=2)(
+                scene_var, cfg, params_var, origin, direction, target
+            )
+            # Gradient all-reduce over ICI(+DCN), overlapped with remaining
+            # backward work by XLA; equal shard sizes → psum-mean is the
+            # global gradient of the global mean loss.  On a 2-D
+            # ("hosts", "chips") mesh this is the hierarchical
+            # reduce_scatter-over-chips + psum-over-hosts form
+            # (dist/mesh.py::hierarchical_pmean).
+            grads = hierarchical_pmean(grads, mesh)
+            loss = jax.lax.pmean(loss, axes)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+    box = {"scene": scene}
+
+    def step(params, opt_state, origin, direction, target):
+        return _impl(box["scene"], params, opt_state, origin, direction,
+                     target)
+
+    step.set_scene = lambda s: box.__setitem__("scene", s)
     return step
+
+
+def rebuild_accel(scene: FlatScene, params: Dict,
+                  pad_clusters_to: Optional[int] = None) -> FlatScene:
+    """Rebuild the cluster tables from the CURRENT fitted geometry.
+
+    Host-side O(T log T) (accel/clusters.py); with ``pad_clusters_to`` the
+    device-array shapes stay identical across rebuilds so a compiled fit
+    step is reused without retracing.  The octree (if any) is NOT rebuilt
+    (its node count is data-dependent; use cluster backends while
+    fitting)."""
+    import numpy as np
+
+    s2 = apply_params(scene, params)
+    v1 = np.asarray(s2.tri_v1)
+    e1 = np.asarray(s2.tri_e1)
+    e2 = np.asarray(s2.tri_e2)
+    sn = np.asarray(s2.tri_snormal)
+    mids = np.asarray(scene.tri_mesh)
+    valid = np.asarray(scene.tri_valid)
+    v = np.stack([v1, v1 + e1, v1 + e2], axis=1)
+    csize = scene.clusters["block"].shape[2]
+    from raytpu.accel.clusters import build_clusters
+
+    ct = build_clusters(v, cluster_size=csize, valid=valid,
+                        pad_clusters_to=pad_clusters_to)
+    newcl = ct.as_device_arrays(v1, e1, e2, sn, mids,
+                                build_gblock="gblock" in scene.clusters)
+    return scene.replace(clusters=newcl)
 
 
 def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
@@ -109,6 +151,7 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
         callback: Optional[Callable[[int, float], None]] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
+        rebuild_every: int = 0,
         ) -> Tuple[FlatScene, Dict, list]:
     """Optimize ``fields`` of ``scene`` so its render matches ``target_image``.
 
@@ -116,10 +159,24 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
     ``checkpoint_dir`` set, optimization state is saved every
     ``checkpoint_every`` steps and the fit resumes from the latest
     checkpoint if one exists (io/checkpoint.py).
+
+    ``rebuild_every``: while fitting GEOMETRY with a cluster-backed
+    intersector (TILED/PALLAS), rebuild the acceleration tables from the
+    current geometry every N steps (epoch rebuilds — the moving-geometry
+    story the octree caveat above describes).  Tables are padded to a
+    fixed cluster count so the compiled step is reused, not retraced;
+    between rebuilds the detached hit query lags the geometry by at most
+    N steps (the differentiable recompute always uses current values).
     """
     optimizer = optimizer or optax.adam(learning_rate)
     params = extract_params(scene, fields)
     opt_state = optimizer.init(params)
+
+    pad_to = None
+    if rebuild_every and scene.clusters is not None:
+        nc0 = scene.clusters["cluster_min"].shape[0]
+        pad_to = nc0 + max(8, nc0 // 8)  # slack for split-count drift
+        scene = rebuild_accel(scene, params, pad_to)
 
     o, d = camera_rays(camera, cfg.width, cfg.height)
     target = jnp.asarray(target_image, jnp.float32).reshape(-1, 3)
@@ -147,6 +204,10 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
     step_fn = make_fit_step(scene, cfg, optimizer, mesh)
     history = []
     for i in range(start_step, steps):
+        if (rebuild_every and pad_to is not None and i > start_step
+                and (i - start_step) % rebuild_every == 0):
+            scene = rebuild_accel(scene, params, pad_to)
+            step_fn.set_scene(scene)  # same shapes — no retrace
         params, opt_state, loss = step_fn(params, opt_state, o, d, target)
         loss = float(loss)
         history.append(loss)

@@ -233,3 +233,58 @@ def test_gradients_through_pallas_intersector():
                                          *camera_rays(cam, 12, 12), target)
     total = sum(float(jnp.abs(v).sum()) for v in g.values())
     assert np.isfinite(total) and total > 0.0
+
+
+def test_fit_with_epoch_accel_rebuild():
+    """Geometry fit through a CLUSTER-backed intersector with per-epoch
+    acceleration rebuilds (fit(rebuild_every=...)): tables track the moving
+    geometry with stable shapes (the compiled step is reused), and the fit
+    still descends."""
+    from raytpu.config import Intersector
+    from raytpu.diff.fit import fit
+    from tests.scenes import crate_scene
+
+    flat = crate_scene().flatten(build_octree=False, cluster_size=16)
+    cfg = diff_cfg(width=16, height=16, max_reflections=0,
+                   intersector=Intersector.TILED, cull_tile=64)
+    cam = default_camera()
+    target = render_image(flat, cfg, cam)
+
+    # Perturb geometry; the fit must pull it back while rebuilding the
+    # cluster tables every 3 steps.
+    key = jax.random.PRNGKey(1)
+    pert = {
+        f: getattr(flat, f) + 0.05 * jax.random.normal(
+            jax.random.split(key, 3)[i], getattr(flat, f).shape)
+        for i, f in enumerate(GEOMETRY)
+    }
+    noisy = flat.replace(**pert)
+
+    shapes_before = jax.tree.map(jnp.shape, noisy.clusters)
+    fitted, params, losses = fit(noisy, cfg, cam, target, fields=GEOMETRY,
+                                 steps=9, learning_rate=5e-3,
+                                 rebuild_every=3)
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    # Rebuilt (padded) tables keep one stable shape across epochs.
+    assert fitted.clusters["block"].shape[2] == 16  # cluster_size preserved
+
+
+def test_rebuild_accel_shapes_stable():
+    from raytpu.diff.fit import rebuild_accel
+    from raytpu.diff.params import extract_params
+    from tests.scenes import crate_scene
+
+    flat = crate_scene().flatten(build_octree=False, cluster_size=16)
+    params = extract_params(flat, GEOMETRY)
+    nc0 = flat.clusters["cluster_min"].shape[0]
+    pad = nc0 + 4
+    r1 = rebuild_accel(flat, params, pad)
+    moved = {k: v + 0.3 for k, v in params.items()}
+    r2 = rebuild_accel(flat, moved, pad)
+    s1 = jax.tree.map(jnp.shape, r1.clusters)
+    s2 = jax.tree.map(jnp.shape, r2.clusters)
+    assert s1 == s2
+    # The rebuilt tables actually reflect the moved geometry.
+    assert not np.allclose(np.asarray(r1.clusters["cluster_min"]),
+                           np.asarray(r2.clusters["cluster_min"]))
