@@ -37,9 +37,9 @@ from raytpu.config import RenderConfig, RenderMode
 HELP = """\
  w/s      dolly forward / back        a/d or ←/→  orbit left / right
  r/f or ↑/↓  rise / sink              +/-   zoom (fov)
- Enter    full-quality trace          Space toggle preview / traced
- n        cycle shaded/normals/convex h     help
- q / Esc  quit
+ j/k      spin first object (N/M)     Enter full-quality trace
+ Space    toggle preview / traced     n     cycle shaded/normals/convex
+ h        help                        q / Esc  quit
 """
 
 #: CSI final bytes → the equivalent letter command (arrow-key orbit,
@@ -104,8 +104,13 @@ class InteractiveSession:
 
     def __init__(self, flat_scene, cfg: RenderConfig,
                  preview_res: int = 96, move_step: float = 2.0,
-                 orbit_step: float = 0.15):
+                 orbit_step: float = 0.15, host_scene=None,
+                 flatten_kwargs: Optional[dict] = None):
         self.scene = flat_scene
+        #: Host-side Scene (pre-flatten): enables object rotation (j/k —
+        #: the reference's N/M keys, Game1.cs:270-287) by re-baking.
+        self.host_scene = host_scene
+        self.flatten_kwargs = flatten_kwargs or {}
         self.cfg = cfg
         self.preview_res = preview_res
         self.move_step = move_step
@@ -181,6 +186,18 @@ class InteractiveSession:
             return "mode"
         if k == "h":
             return "help"
+        if k in ("j", "k"):
+            # Rotate the first object about Y and re-bake (the reference's
+            # N/M object spin, Game1.cs:270-287).  Needs the host scene.
+            if self.host_scene is None or not self.host_scene.objects:
+                return "noop"
+            obj = self.host_scene.objects[0]
+            rx, ry, rz = obj.rotation
+            obj.rotation = (rx, ry + (self.orbit_step
+                                      if k == "j" else -self.orbit_step), rz)
+            self.scene = self.host_scene.flatten(**self.flatten_kwargs)
+            self.showing_trace = False
+            return "move"
         moves = {
             "w": ("radius", -self.move_step),
             "s": ("radius", +self.move_step),
@@ -212,12 +229,14 @@ class InteractiveSession:
 
 
 def run_interactive(flat_scene, cfg: RenderConfig, out=sys.stdout,
-                    max_cols: int = 100) -> None:
+                    max_cols: int = 100, host_scene=None,
+                    flatten_kwargs=None) -> None:
     """Raw-TTY loop around InteractiveSession (the Game1 update loop)."""
     import termios
     import tty
 
-    sess = InteractiveSession(flat_scene, cfg)
+    sess = InteractiveSession(flat_scene, cfg, host_scene=host_scene,
+                              flatten_kwargs=flatten_kwargs)
 
     def draw(img, status=""):
         out.write("\x1b[2J\x1b[H")  # clear + home

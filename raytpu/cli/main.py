@@ -257,7 +257,12 @@ def cmd_view(args) -> int:
     scene, _scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
-    run_interactive(flat, cfg)
+    flatten_kwargs = dict(
+        build_octree=args.intersector in ("auto", "octree"),
+        build_clusters=args.intersector in ("auto", "tiled", "pallas"),
+    )
+    run_interactive(flat, cfg, host_scene=scene,
+                    flatten_kwargs=flatten_kwargs)
     return 0
 
 

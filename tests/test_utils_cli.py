@@ -309,3 +309,26 @@ def test_fused_uvt_id_limit_message():
     o = jnp.zeros((4, 3)); d = jnp.ones((4, 3))
     with pytest.raises(ValueError, match="16.7M"):
         nearest_hit_fused(fake, o, d, tile_size=4, interpret=True)
+
+
+def test_interactive_object_spin_rebakes():
+    """j/k spin the first object (the reference's N/M keys) by re-baking
+    the host scene; without a host scene they are noops."""
+    from raytpu.cli.interactive import InteractiveSession
+    from raytpu.config import Intersector, RenderConfig
+    from tests.scenes import sphere_and_plane_scene
+
+    host = sphere_and_plane_scene()
+    flat = host.flatten(leaf_threshold=16, max_depth=8)
+    cfg = RenderConfig(width=16, height=16, max_reflections=0,
+                       intersector=Intersector.BRUTE, tile_pixels=256)
+    sess = InteractiveSession(flat, cfg, preview_res=16, host_scene=host,
+                              flatten_kwargs=dict(leaf_threshold=16,
+                                                  max_depth=8))
+    v0 = np.asarray(sess.scene.tri_v1).copy()
+    assert sess.handle_key("j") == "move"
+    assert abs(host.objects[0].rotation[1]) > 0
+    assert not np.allclose(v0, np.asarray(sess.scene.tri_v1))
+
+    no_host = InteractiveSession(flat, cfg, preview_res=16)
+    assert no_host.handle_key("j") == "noop"
