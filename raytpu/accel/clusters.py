@@ -100,7 +100,7 @@ class ClusterTable:
 
         # Packed per-cluster block for the Pallas kernel's DMA path:
         # (NC, 24, C) f32 in the *triple-product* form of Möller–Trumbore
-        # (kernels/intersect.py): with per-ray w = d x o,
+        # (kernels/fused.py): with per-ray w = d x o,
         #   det   = d·N            N  = cross(e2, e1)  (rows 0-2)
         #   u*det = w·E2n + d·M1n  M1n = cross(v1, e2) (3-5), E2n = -e2 (6-8)
         #   v*det = w·E1  + d·M2   M2 = cross(e1, v1)  (9-11), E1 = e1 (12-14)

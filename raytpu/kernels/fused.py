@@ -1,7 +1,7 @@
 """Fully-fused nearest-hit Pallas kernel: cull + walk + intersect in VMEM.
 
-The production TPU intersector (replaces kernels/intersect.py + the
-XLA-side cull/select of accel/tiled.py for the PALLAS path).  One grid step
+The production TPU intersector (the XLA-side cull/select of
+accel/tiled.py remains as the exact non-TPU fallback).  One grid step
 per ray tile; everything happens on-chip:
 
 1. **Tile bounds** — origin AABB + direction interval box reduced from the
