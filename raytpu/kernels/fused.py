@@ -47,13 +47,16 @@ MXU matmul per cluster — all four det-space quantities are linear in
 (d, w, o, 1) (see accel/clusters.py gblock).  DMA waits for a trip's K
 slots are hoisted ahead of its tests (one fence point per trip).
 
-Versus v1 (XLA cull + top-maxc select + kernel): the dense (tiles, clusters)
-mask/entry arrays never touch HBM, the pathological XLA select (334 ms of a
-433 ms frame at 1M tris/1M rays) disappears, and the acceptance test runs in
-det-multiplied space (no per-pair reciprocal; one divide only for the hit
-distance).  u, v are not maintained in-loop: the kernel returns a packed
-``code = cluster * C + lane`` per ray and the host recomputes (u, v, t) for
-the single winning triangle with bit-identical formula order.
+Versus the r1 XLA pipeline (cull + top-maxc select + kernel): the dense
+(tiles, clusters) mask/entry arrays never touch HBM, the pathological XLA
+select (334 ms of a 433 ms frame at 1M tris/1M rays) disappears, and the
+acceptance test runs in det-multiplied space (no per-pair reciprocal; one
+divide only for the hit distance).  With ``uvt`` (the nearest-hit default)
+the winner's (udet, vdet, det, triangle id) ride along in scratch via
+one-hot row sums per trip and (u, v) fall out of one division per ray at
+drain — no host-side gather or recompute epilogue (the old (R, 16) row
+gather alone cost as much as half the walk at 1M rays).  ``any_hit``
+occlusion queries skip all of it and return just the boolean + bounded t.
 
 This kernel is the TPU-native replacement for the reference's innermost hot
 loops (RayExtensions.cs:13-75 Möller–Trumbore; MeshOctree.cs:288-353 leaf
