@@ -267,7 +267,9 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
         elif clusters is not None:
             # The fused kernel on a real TPU; the exact XLA path elsewhere
             # (interpret-mode Pallas is far slower than XLA on CPU).
-            on_tpu = jax.default_backend() in ("tpu", "axon")
+            from raytpu.utils.backend import on_accelerator
+
+            on_tpu = on_accelerator()
             aligned = clusters["block"].shape[2] % 128 == 0
             mode = (
                 Intersector.PALLAS if on_tpu and aligned else Intersector.TILED

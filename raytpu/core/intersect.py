@@ -108,3 +108,26 @@ def ray_aabb(origin, direction, box_min, box_max):
 def barycentric_point(v1, e1, e2, u, v):
     """Object-space hit point ``v1 + e1*u + e2*v`` (MeshOctree.cs:310-322)."""
     return v1 + e1 * u[..., None] + e2 * v[..., None]
+
+
+def det_space_accept(det, udet, vdet, tdet, cull: bool):
+    """Möller–Trumbore acceptance in det-multiplied space (no reciprocal).
+
+    The ONE definition shared by the fused Pallas kernel and the ring's
+    dense fallback (dist/bigscene.py) so their accept semantics can never
+    diverge.  ``cull``: backface culling accepts det < 0 only (sign(det) ==
+    sign(dot(snormal, d)) under the accel/clusters.py packing), so the
+    det-multiplied comparisons flip once, statically.  The no-cull branch
+    folds the sign; ``ps > 0`` excludes det == 0, which the reference's
+    guardless division also never accepts (u/v become inf/NaN and fail —
+    RayExtensions.cs:13-75).
+    """
+    import jax.numpy as jnp
+
+    if cull:
+        return ((udet <= 0.0) & (vdet <= 0.0) & (tdet <= 0.0)
+                & (udet + vdet >= det) & (det < 0.0))
+    s = jnp.where(det < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    us, vs, ts_, ps = udet * s, vdet * s, tdet * s, det * s
+    return ((us >= 0.0) & (vs >= 0.0) & (ts_ >= 0.0)
+            & (us + vs <= ps) & (ps > 0.0))

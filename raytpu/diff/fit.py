@@ -39,10 +39,18 @@ def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
 
 
 def render_loss(scene: FlatScene, cfg: RenderConfig, params: Dict,
-                origin, direction, target) -> jnp.ndarray:
-    """Mean-squared pixel error of the differentiable render."""
+                origin, direction, target, valid=None) -> jnp.ndarray:
+    """Mean-squared pixel error of the differentiable render.
+
+    ``valid`` (optional (R,) bool): rows excluded from the loss — their
+    color is zeroed against a zero target, so padded phantom rays (the
+    device-count round-up in ``fit``) contribute EXACTLY zero error and
+    zero gradient; the mean is then diluted only by the constant factor
+    n_valid/n, a pure learning-rate scale."""
     colors = render_rays(apply_params(scene, params), _diff_cfg(cfg), origin,
                          direction)
+    if valid is not None:
+        colors = jnp.where(valid[:, None], colors, 0.0)
     return jnp.mean((colors - target) ** 2)
 
 
@@ -67,9 +75,10 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
     if mesh is None:
 
         @jax.jit
-        def _impl(scene_, params, opt_state, origin, direction, target):
+        def _impl(scene_, params, opt_state, origin, direction, target,
+                  valid):
             loss, grads = jax.value_and_grad(render_loss, argnums=2)(
-                scene_, cfg, params, origin, direction, target
+                scene_, cfg, params, origin, direction, target, valid
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
@@ -82,16 +91,17 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), P(), spec, spec, spec),
+            in_specs=(P(), P(), P(), spec, spec, spec, spec),
             out_specs=(P(), P(), P()),
         )
-        def _impl(scene_, params, opt_state, origin, direction, target):
+        def _impl(scene_, params, opt_state, origin, direction, target,
+                  valid):
             from raytpu.dist.mesh import hierarchical_pmean, pvary_tree
 
             scene_var = pvary_tree(scene_, axes)
             params_var = pvary_tree(params, axes)
             loss, grads = jax.value_and_grad(render_loss, argnums=2)(
-                scene_var, cfg, params_var, origin, direction, target
+                scene_var, cfg, params_var, origin, direction, target, valid
             )
             # Gradient all-reduce over ICI(+DCN), overlapped with remaining
             # backward work by XLA; equal shard sizes → psum-mean is the
@@ -104,13 +114,17 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-    box = {"scene": scene}
+    box = {"scene": scene, "valid": None}
 
     def step(params, opt_state, origin, direction, target):
+        valid = box["valid"]
+        if valid is None:
+            valid = jnp.ones(origin.shape[:1], bool)
         return _impl(box["scene"], params, opt_state, origin, direction,
-                     target)
+                     target, valid)
 
     step.set_scene = lambda s: box.__setitem__("scene", s)
+    step.set_valid = lambda v: box.__setitem__("valid", v)
     return step
 
 
@@ -172,25 +186,22 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
     params = extract_params(scene, fields)
     opt_state = optimizer.init(params)
 
-    pad_to = None
-    if rebuild_every and scene.clusters is not None:
-        nc0 = scene.clusters["cluster_min"].shape[0]
-        pad_to = nc0 + max(8, nc0 // 8)  # slack for split-count drift
-        scene = rebuild_accel(scene, params, pad_to)
-
     o, d = camera_rays(camera, cfg.width, cfg.height)
     target = jnp.asarray(target_image, jnp.float32).reshape(-1, 3)
     n = o.shape[0]
     start_step = 0
+    valid = None
 
     if mesh is not None:
         pad = (-n) % mesh.size
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-            # Padded targets get padded renders (both traced identically),
-            # so they only dilute the mean by a known constant factor.
             target = jnp.concatenate([target, jnp.zeros((pad, 3))])
+            # Phantom pad rays are masked out of the loss (render_loss
+            # ``valid``): zero error, zero gradient — they exist only to
+            # even out the device shards.
+            valid = jnp.arange(o.shape[0]) < n
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -201,13 +212,33 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
         if restored is not None:
             start_step, (params, opt_state) = restored
 
+    pad_to = None
+    if rebuild_every and scene.clusters is not None:
+        # AFTER checkpoint restore: a resumed fit must rebuild from the
+        # restored geometry, not the step-0 geometry.
+        nc0 = scene.clusters["cluster_min"].shape[0]
+        pad_to = nc0 + max(8, nc0 // 8)  # slack for split-count drift
+        scene = rebuild_accel(scene, params, pad_to)
+
     step_fn = make_fit_step(scene, cfg, optimizer, mesh)
+    if valid is not None:
+        step_fn.set_valid(valid)
     history = []
     for i in range(start_step, steps):
         if (rebuild_every and pad_to is not None and i > start_step
                 and (i - start_step) % rebuild_every == 0):
-            scene = rebuild_accel(scene, params, pad_to)
-            step_fn.set_scene(scene)  # same shapes — no retrace
+            try:
+                scene = rebuild_accel(scene, params, pad_to)
+                step_fn.set_scene(scene)  # same shapes — no retrace
+            except ValueError:
+                # Split-count drift exceeded the pad slack: grow the pad
+                # and re-make the step (one retrace) instead of aborting
+                # a partially-done fit.
+                pad_to = int(pad_to * 1.5) + 8
+                scene = rebuild_accel(scene, params, pad_to)
+                step_fn = make_fit_step(scene, cfg, optimizer, mesh)
+                if valid is not None:
+                    step_fn.set_valid(valid)
         params, opt_state, loss = step_fn(params, opt_state, o, d, target)
         loss = float(loss)
         history.append(loss)

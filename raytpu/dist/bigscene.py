@@ -16,10 +16,13 @@ Why this shape:
   HBM, every hop.  What rides ICI is the ray state (~48 B/ray) — orders of
   magnitude smaller than the geometry, and ``ppermute`` overlaps with the
   next hop's intersection work under XLA's scheduler.
-- The in-shard query is the SAME single-chip intersector (the fused Pallas
-  kernel on TPU, the tiled XLA path elsewhere) — the running best enters as
-  ``t_max``, so later shards' walks settle early wherever earlier shards
-  already found close hits (the front-to-back early-out now spans chips).
+- The in-shard query is the fused Pallas kernel on TPU — the running best
+  enters as ``t_max``, so later shards' walks settle early wherever earlier
+  shards already found close hits (the front-to-back early-out now spans
+  chips).  Off-accelerator (and for unaligned cluster sizes) the exact
+  fallback is a dense det-space sweep straight off the packed block
+  (``_brute_from_block`` — the SAME acceptance, via
+  core/intersect.det_space_accept).
 - Contiguous shards of the median-split cluster order are spatially
   compact, so per-shard root caps stay tight.
 
@@ -136,6 +139,9 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
     pad = chunk * n - r
     o = jnp.asarray(origin, f32)
     d = jnp.asarray(direction, f32)
+    # Static: with no user ignores, the in-shard kernel elides the per-pair
+    # id comparisons entirely (has_ignore=False).
+    has_ignore = ignore_tri is not None or ignore_mesh is not None
     itri = (jnp.full((r,), -1, i32) if ignore_tri is None
             else jnp.asarray(ignore_tri, i32))
     imesh = (jnp.full((r,), -1, i32) if ignore_mesh is None
@@ -149,7 +155,9 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
         imesh = jnp.concatenate([imesh, jnp.full((pad,), -1, i32)])
         tmax = jnp.concatenate([tmax, jnp.zeros((pad,), f32)])
 
-    on_hw = jax.default_backend() in ("tpu", "axon")
+    from raytpu.utils.backend import on_accelerator
+
+    on_hw = on_accelerator()
     use_fused = intersector == "pallas" or (intersector == "auto" and on_hw)
     if on_hw and shards["csize"] % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; the dense sweep off
@@ -187,7 +195,7 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
             o2, d2, it2, im2, tm2, best = state
             cap = jnp.minimum(tm2, best.t)
             h = _local_query(local, o2, d2, it2, im2, cap, cull,
-                             tile_size, use_fused)
+                             tile_size, use_fused, has_ignore)
             upd = h.hit & (h.t < best.t)
             best = Hit(
                 hit=best.hit | upd,
@@ -215,21 +223,25 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
                tri=flat(tri))
 
 
-def _local_query(local, o, d, itri, imesh, cap, cull, tile_size, use_fused):
+def _local_query(local, o, d, itri, imesh, cap, cull, tile_size, use_fused,
+                 has_ignore):
     if use_fused:
         from raytpu.kernels.fused import nearest_hit_fused
 
-        return nearest_hit_fused(local, o, d, ignore_tri=itri,
-                                 ignore_mesh=imesh, cull=cull,
+        return nearest_hit_fused(local, o, d,
+                                 ignore_tri=itri if has_ignore else None,
+                                 ignore_mesh=imesh if has_ignore else None,
+                                 cull=cull,
                                  tile_size=tile_size, t_max=cap)
     # XLA fallback: a dense front-to-back chunk scan needs the per-cluster
     # triangle arrays; reconstruct the dict views the tiled path reads from
     # the packed block is overkill — run the brute Möller–Trumbore over the
     # shard's packed geometry instead (exact, VPU-shaped).
-    return _brute_from_block(local.clusters, o, d, itri, imesh, cap, cull)
+    return _brute_from_block(local.clusters, o, d, itri, imesh, cap, cull,
+                             has_ignore)
 
 
-def _brute_from_block(cl, o, d, itri, imesh, cap, cull):
+def _brute_from_block(cl, o, d, itri, imesh, cap, cull, has_ignore=True):
     """Dense exact sweep straight off the packed (NCs, 24, C) block.
 
     Evaluates the same det-space Möller–Trumbore the kernel runs (rows 0-17
@@ -253,17 +265,13 @@ def _brute_from_block(cl, o, d, itri, imesh, cap, cull):
         vdet = (wx * row(12) + wy * row(13) + wz * row(14)
                 + dx * row(9) + dy * row(10) + dz * row(11))
         tdet = row(15) - (ox * row(0) + oy * row(1) + oz * row(2))
-        if cull:
-            ok = ((udet <= 0.0) & (vdet <= 0.0) & (tdet <= 0.0)
-                  & (udet + vdet >= det) & (det < 0.0))
-        else:
-            s = jnp.where(det < 0.0, f32(-1.0), f32(1.0))
-            us, vs, ts_, ps = udet * s, vdet * s, tdet * s, det * s
-            ok = ((us >= 0.0) & (vs >= 0.0) & (ts_ >= 0.0)
-                  & (us + vs <= ps) & (ps > 0.0))
+        from raytpu.core.intersect import det_space_accept
+
+        ok = det_space_accept(det, udet, vdet, tdet, cull)
         tid = jax.lax.bitcast_convert_type(g[16:17, :], i32)
-        tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
-        ok &= (tid != itri[:, None]) & (tmesh != imesh[:, None])
+        if has_ignore:
+            tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
+            ok &= (tid != itri[:, None]) & (tmesh != imesh[:, None])
         dist = jnp.where(ok, tdet / det, INF)
         j = jnp.argmin(dist, axis=1)
         rr = jnp.arange(r)

@@ -258,8 +258,10 @@ def _fused_kernel(
         (ascending entry; INF-padded past the end) and launch their DMAs.
 
         Every slot gets a DMA — exhausted picks (v == INF) fetch a real
-        cluster as a dummy so the consumer side needs no conditional waits
-        (the slot's update is masked out by ``qv == INF``).  The waste is
+        cluster as a dummy so the consumer side needs no conditional waits.
+        No mask is needed on the consumer side: re-testing any real cluster
+        is idempotent under the strict-min update (see test_cluster), so a
+        dummy slot can only re-confirm existing bests.  The waste is
         bounded by the final partial group."""
         for j in range(kc):
             v_j, k_j = pick()
@@ -334,19 +336,11 @@ def _fused_kernel(
             vdet = (wx * row(12) + wy * row(13) + wz * row(14)
                     + dx * row(9) + dy * row(10) + dz * row(11))
             tdet = row(15) - (ox * nx + oy * ny + oz * nz)
-        if cull:
-            # Backface cull accepts det < 0 only (sign(det) ==
-            # sign(dot(snormal, d)), see clusters.py packing), so the
-            # det-multiplied comparisons flip once, statically.
-            ok = ((udet <= 0.0) & (vdet <= 0.0) & (tdet <= 0.0)
-                  & (udet + vdet >= det) & (det < 0.0))
-        else:
-            s = jnp.where(det < 0.0, f32(-1.0), f32(1.0))
-            us, vs, ts_, ps = udet * s, vdet * s, tdet * s, det * s
-            # ps > 0 excludes det == 0, which the reference's guardless
-            # division also never accepts (u/v become inf/NaN and fail).
-            ok = ((us >= 0.0) & (vs >= 0.0) & (ts_ >= 0.0)
-                  & (us + vs <= ps) & (ps > 0.0))
+        # Shared det-space acceptance (core/intersect.py — one definition
+        # for this kernel and the ring's dense fallback).
+        from raytpu.core.intersect import det_space_accept
+
+        ok = det_space_accept(det, udet, vdet, tdet, cull)
 
         if has_ignore:
             if mxu:
@@ -617,8 +611,14 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, ts), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # uvt off (occlusion queries): collapse the winner-channel
+            # output to one shared dummy block instead of an (NT, 4, TS)
+            # array nobody writes or reads (~16 MB at 1M rays).
+            (pl.BlockSpec((1, 4, ts), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+             if uvt else
+             pl.BlockSpec((1, 4, ts), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -627,7 +627,7 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
-            jax.ShapeDtypeStruct((nt, 4, ts), f32),
+            jax.ShapeDtypeStruct((nt if uvt else 1, 4, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
             jax.ShapeDtypeStruct((nt, 1, 1), i32),
         ],
@@ -655,7 +655,9 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
 
 
 def _default_interpret() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
+    from raytpu.utils.backend import on_accelerator
+
+    return not on_accelerator()
 
 
 def _pad_rows(a, tile, fill):
@@ -756,13 +758,19 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
             "or ring sharding (dist/bigscene.py) for larger scenes")
     if not interpret and csize % 128 != 0:
         # Mosaic DMA slices must be 128-lane aligned; small test clusters
-        # run through the exact XLA backend instead.
+        # run through the exact XLA backend instead.  The walk-shape knobs
+        # (pretest/recull/phase1) have no tiled equivalent and are dropped;
+        # results are identical either way (they are exact-only controls).
         from raytpu.accel.tiled import nearest_hit_tiled
 
-        return nearest_hit_tiled(
+        out = nearest_hit_tiled(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             tile_size=tile_size, t_max=t_max, any_hit=any_hit,
         )
+        if return_iters:
+            nt_est = -(-origin.shape[0] // max(tile_size, 1))
+            return out, jnp.zeros((nt_est,), jnp.int32)
+        return out
 
     r = origin.shape[0]
     f32, i32 = jnp.float32, jnp.int32
