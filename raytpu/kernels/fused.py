@@ -82,6 +82,77 @@ NGRP = 2
 ROWS = 16  # packed ray rows (o, d, tmax, itri, imesh, pad)
 
 
+def _tile_bounds_lm(m, o_rows, d_rows):
+    """Origin AABB + direction interval box over the rays in mask ``m``.
+
+    All inputs are (1, TS) lane-major rows (see the kernel prologue layout
+    note: a (TS, 1) op costs ~16x more at 1/128 lane utilization)."""
+    f32 = jnp.float32
+    oxr, oyr, ozr = o_rows
+    dxr, dyr, dzr = d_rows
+    mbig = jnp.where(m, f32(0.0), f32(INF))
+
+    def bmin(a):
+        return jnp.min(jnp.where(m, a, f32(0.0)) + mbig)
+
+    def bmax(a):
+        return jnp.max(jnp.where(m, a, f32(0.0)) - mbig)
+
+    any_m = jnp.max(m.astype(f32)) > 0.0
+    om = [jnp.where(any_m, bmin(a), f32(0.0)) for a in (oxr, oyr, ozr)]
+    oM = [jnp.where(any_m, bmax(a), f32(0.0)) for a in (oxr, oyr, ozr)]
+    dm = [jnp.where(any_m, bmin(a), f32(1.0)) for a in (dxr, dyr, dzr)]
+    dM = [jnp.where(any_m, bmax(a), f32(1.0)) for a in (dxr, dyr, dzr)]
+    return om, oM, dm, dM, any_m
+
+
+def _entry_grid(aabb, valid_col, bounds, wcap):
+    """Conservative entry bounds for the beam with bounds from
+    ``_tile_bounds_lm``.
+
+    Division-free interval slab test (accel/tiled.py::cull_clusters):
+    per axis, the conservative entry/exit of t >= 0 with t*d in
+    [s_lo, s_hi] for some d in [d_lo, d_hi]; only per-tile scalar
+    reciprocals.  ``wcap``: prune clusters whose entry cannot beat any
+    of the masked rays' current best (INF entry = infeasible)."""
+    f32 = jnp.float32
+    o_min, o_max, d_min, d_max, any_m = bounds
+    shape = valid_col.shape
+    t_lo = jnp.zeros(shape, f32)
+    t_hi = jnp.full(shape, INF, f32)
+    for k in range(3):
+        d_lo = d_min[k]
+        d_hi = d_max[k]
+        inv_hi = 1.0 / jnp.where(d_hi == 0.0, f32(1.0), d_hi)
+        inv_lo = 1.0 / jnp.where(d_lo == 0.0, f32(1.0), d_lo)
+        hi_pos = d_hi > 0.0
+        lo_pos = d_lo > 0.0
+        lo_neg = d_lo < 0.0
+        hi_neg = d_hi < 0.0
+
+        s_lo = aabb[k] - o_max[k]
+        s_hi = aabb[3 + k] - o_min[k]
+        pos = s_lo > 0.0
+        neg = s_hi < 0.0
+
+        lo_k = jnp.where(
+            pos,
+            jnp.where(hi_pos, s_lo * inv_hi, INF),
+            jnp.where(neg, jnp.where(lo_neg, s_hi * inv_lo, INF),
+                      f32(0.0)),
+        )
+        hi_same = jnp.where(lo_pos, s_hi * inv_lo,
+                            jnp.where(hi_neg, s_lo * inv_hi, INF))
+        hi_k = jnp.where(pos, jnp.where(lo_pos, s_hi * inv_lo, INF),
+                         jnp.where(neg,
+                                   jnp.where(hi_neg, s_lo * inv_hi, INF),
+                                   hi_same))
+        t_lo = jnp.maximum(t_lo, lo_k)
+        t_hi = jnp.minimum(t_hi, hi_k)
+    feasible = (t_lo <= t_hi) & (t_lo < INF) & (t_lo < wcap) & valid_col
+    return jnp.where(feasible & any_m, t_lo, INF)
+
+
 def _fused_kernel(
     root_ref,  # (1, 8) SMEM: root_min xyz, root_max xyz, margin, pad
     rays,      # (ROWS, TS) VMEM packed rays (column slice of (ROWS, R))
@@ -166,66 +237,10 @@ def _fused_kernel(
     flat_io = row_io * nc8 + col_io
     valid_col = flat_io < nc  # padding columns are never feasible
 
-    def tile_bounds(m):
-        """Origin AABB + direction interval box over the rays in mask ``m``
-        ((1, TS) lane-major — see the prologue layout note)."""
-        mbig = jnp.where(m, f32(0.0), f32(INF))
-
-        def bmin(a):
-            return jnp.min(jnp.where(m, a, f32(0.0)) + mbig)
-
-        def bmax(a):
-            return jnp.max(jnp.where(m, a, f32(0.0)) - mbig)
-
-        any_m = jnp.max(m.astype(f32)) > 0.0
-        om = [jnp.where(any_m, bmin(a), f32(0.0)) for a in (oxr, oyr, ozr)]
-        oM = [jnp.where(any_m, bmax(a), f32(0.0)) for a in (oxr, oyr, ozr)]
-        dm = [jnp.where(any_m, bmin(a), f32(1.0)) for a in (dxr, dyr, dzr)]
-        dM = [jnp.where(any_m, bmax(a), f32(1.0)) for a in (dxr, dyr, dzr)]
-        return om, oM, dm, dM, any_m
-
     def entry_grid(m, wcap):
-        """Conservative entry bounds for the beam over ray mask ``m``.
-
-        Division-free interval slab test (accel/tiled.py::cull_clusters):
-        per axis, the conservative entry/exit of t >= 0 with t*d in
-        [s_lo, s_hi] for some d in [d_lo, d_hi]; only per-tile scalar
-        reciprocals.  ``wcap``: prune clusters whose entry cannot beat any
-        of the masked rays' current best (INF entry = infeasible)."""
-        o_min, o_max, d_min, d_max, any_m = tile_bounds(m)
-        t_lo = jnp.zeros((8, nc8), f32)
-        t_hi = jnp.full((8, nc8), INF, f32)
-        for k in range(3):
-            d_lo = d_min[k]
-            d_hi = d_max[k]
-            inv_hi = 1.0 / jnp.where(d_hi == 0.0, f32(1.0), d_hi)
-            inv_lo = 1.0 / jnp.where(d_lo == 0.0, f32(1.0), d_lo)
-            hi_pos = d_hi > 0.0
-            lo_pos = d_lo > 0.0
-            lo_neg = d_lo < 0.0
-            hi_neg = d_hi < 0.0
-
-            s_lo = aabb[k] - o_max[k]
-            s_hi = aabb[3 + k] - o_min[k]
-            pos = s_lo > 0.0
-            neg = s_hi < 0.0
-
-            lo_k = jnp.where(
-                pos,
-                jnp.where(hi_pos, s_lo * inv_hi, INF),
-                jnp.where(neg, jnp.where(lo_neg, s_hi * inv_lo, INF),
-                          f32(0.0)),
-            )
-            hi_same = jnp.where(lo_pos, s_hi * inv_lo,
-                                jnp.where(hi_neg, s_lo * inv_hi, INF))
-            hi_k = jnp.where(pos, jnp.where(lo_pos, s_hi * inv_lo, INF),
-                             jnp.where(neg,
-                                       jnp.where(hi_neg, s_lo * inv_hi, INF),
-                                       hi_same))
-            t_lo = jnp.maximum(t_lo, lo_k)
-            t_hi = jnp.minimum(t_hi, hi_k)
-        feasible = (t_lo <= t_hi) & (t_lo < INF) & (t_lo < wcap) & valid_col
-        return jnp.where(feasible & any_m, t_lo, INF)
+        return _entry_grid(aabb, valid_col,
+                           _tile_bounds_lm(m, (oxr, oyr, ozr),
+                                           (dxr, dyr, dzr)), wcap)
 
     ent[:, :] = entry_grid(finite, tile_tmax)
     done[:, :] = jnp.zeros((8, nc8), f32)
@@ -338,7 +353,26 @@ def _fused_kernel(
             tdet = row(15) - (ox * nx + oy * ny + oz * nz)
         # Shared det-space acceptance (core/intersect.py — one definition
         # for this kernel and the ring's dense fallback).
-        from raytpu.core.intersect import det_space_accept
+        from raytpu.core.intersect import (det_space_accept,
+                                           det_space_accept_within)
+
+        if any_hit:
+            # Occlusion query: no distance, no winner — one det-space
+            # bound check and an any-reduce.  Skips the per-pair divide,
+            # the min-reduce and all best_t/best_code bookkeeping (the
+            # boolean is the entire contract — nearest_hit docstring).
+            okw = det_space_accept_within(det, udet, vdet, tdet, tmax0,
+                                          cull)
+            if has_ignore:
+                if mxu:
+                    ids = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+                    tid = ids[:, 0:c]
+                    tmesh = ids[:, c:2 * c]
+                else:
+                    tid = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+                    tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
+                okw &= (tid != itri) & (tmesh != imesh)
+            return jnp.any(okw, axis=1, keepdims=True), None, None
 
         ok = det_space_accept(det, udet, vdet, tdet, cull)
 
@@ -438,6 +472,10 @@ def _fused_kernel(
             g = buf[grp * kc + j]
 
             def do_test(j=j):
+                if any_hit:
+                    fnd, _, _ = test_cluster(grp, j)
+                    bc_ref[:, :] = jnp.where(fnd, 0, bc_ref[:, :])
+                    return
                 dist, code, quants = test_cluster(grp, j)
                 mint = jnp.min(dist, axis=1, keepdims=True)  # (TS, 1)
                 # Lowest slot code among equals (ties within a cluster
@@ -484,7 +522,7 @@ def _fused_kernel(
         if any_hit:
             # Occlusion query: resolved = found *some* hit inside the
             # bound, or provably clear.
-            res_new = (best_t < tmax0) | (tmax0 <= v_next)
+            res_new = (bc_ref[:, :] >= 0) | (tmax0 <= v_next)
         else:
             res_new = best_t <= v_next
         resolved = (rs_ref[:, :] > 0.0) | res_new
@@ -529,7 +567,13 @@ def _fused_kernel(
     for slot in range(NG * kc):
         wait_dma(slot, qk[slot])
 
-    out_t[0, 0, :] = best_t[:, 0]
+    if any_hit:
+        # Cheap mode never tracked distances; report t = 0 for hits so the
+        # caller's ``t < sdist`` occlusion check holds (only the boolean is
+        # contractually meaningful — nearest_hit docstring).
+        out_t[0, 0, :] = jnp.where(best_code >= 0, f32(0.0), best_t)[:, 0]
+    else:
+        out_t[0, 0, :] = best_t[:, 0]
     out_code[0, 0, :] = best_code[:, 0]
     if uvt:
         # Winner (u, v) by ONE division per ray from the extracted
@@ -546,11 +590,255 @@ def _fused_kernel(
     out_iters[0, 0, 0] = iters
 
 
+def _prepick_kernel(
+    root_ref,  # (1, 8) SMEM: root_min xyz, root_max xyz, margin, pad
+    rays,      # (ROWS, TS) VMEM packed rays (column slice of (ROWS, R))
+    aabb,      # (6, 8, NC8) VMEM cluster AABBs
+    block_hbm,  # (NC, 24, C) ANY packed cluster geometry
+    out_t, out_code, out_uvt, out_res, out_iters,
+    ent,       # (8, NC8) VMEM scratch: remaining entry bounds
+    bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref, bi_ref,  # (TS, 1)
+    qk,        # (F,) SMEM: picked cluster ids, front-to-back
+    qv,        # (F,) SMEM: picked entry bounds, nondecreasing
+    buf,       # (NBUF, 24, C) VMEM DMA ring
+    sem,       # DMA semaphores (NBUF,)
+    *,
+    cull: bool,
+    any_hit: bool,
+    nc: int,
+    nbuf: int,
+    f_max: int,
+    has_ignore: bool = True,
+    uvt: bool = False,
+):
+    """Pick-then-walk variant of ``_fused_kernel``.
+
+    The classic walk interleaves entry-grid argmin picks with cluster
+    tests, so every loop trip carries the pick's serial VMEM round-trips
+    and its DMA lookahead is speculative (dummy fetches past settle).
+    Here the front-to-back order is extracted *up front*: one bounded pick
+    loop drains the entry grid into SMEM (``qk``/``qv``, at most ``f_max``
+    picks — cheap: ~25 VPU ops on the (8, NC8) grid per pick), then a lean
+    walk streams exactly those clusters through an ``nbuf``-deep DMA ring
+    with precise prefetch (ids are known, nothing speculative) and a loop
+    body that is just test + strict-min update + settle check.
+
+    Semantics are identical to the classic kernel (same entry order, same
+    tie resolution, same resolve proof) EXCEPT when a tile has more than
+    ``f_max`` feasible clusters: the walk then stops after ``f_max`` and
+    the unproven rays come back unresolved (``out_res`` 0) with their
+    best-so-far as a true candidate — exactly the classic ``max_trips``
+    contract; ``nearest_hit_fused`` finishes them with a rescue pass.
+    ``qv`` is sized f_max+1: the slot past the last pick holds the tail
+    bound (min entry over everything unpicked; INF when drained), which is
+    what the overflow resolve-proof compares against.
+    """
+    ts = rays.shape[1]
+    c = buf.shape[2]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    nc8 = aabb.shape[2]
+
+    from raytpu.core.intersect import (det_space_accept,
+                                       det_space_accept_within)
+
+    row = lambda r: rays[r:r + 1, :]  # (1, TS) lane-major
+    oxr, oyr, ozr = row(0), row(1), row(2)
+    dxr, dyr, dzr = row(3), row(4), row(5)
+    tmax_in = row(6)
+
+    col = lambda r: rays[r, :].reshape(ts, 1)
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    itri = jax.lax.bitcast_convert_type(col(7), i32)
+    imesh = jax.lax.bitcast_convert_type(col(8), i32)
+
+    finite = (
+        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
+        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
+    )
+
+    # Per-ray root-AABB t cap (identical to _fused_kernel).
+    margin = root_ref[0, 6]
+    t_en = jnp.full((1, ts), -INF, f32)
+    t_ex = jnp.full((1, ts), INF, f32)
+    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
+        safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
+        t1 = (root_ref[0, k] - margin - okr) / safe_d
+        t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
+        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
+        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
+    root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
+    cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
+    cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
+    tmax_lm = jnp.minimum(tmax_in, cap)
+    tile_tmax = jnp.max(tmax_lm)
+    tmax0 = tmax_lm.reshape(ts, 1)
+
+    row_io = jax.lax.broadcasted_iota(i32, (8, nc8), 0)
+    col_io = jax.lax.broadcasted_iota(i32, (8, nc8), 1)
+    flat_io = row_io * nc8 + col_io
+    valid_col = flat_io < nc
+
+    ent[:, :] = _entry_grid(
+        aabb, valid_col,
+        _tile_bounds_lm(finite, (oxr, oyr, ozr), (dxr, dyr, dzr)),
+        tile_tmax)
+
+    # ---- Pick phase: drain the entry grid front-to-back into SMEM ----
+    def pick_body(state):
+        s, _ = state
+        e = ent[:, :]
+        v = jnp.min(e)
+        k = jnp.min(jnp.where(e == v, flat_io, i32(nc)))
+        ent[:, :] = jnp.where(flat_io == k, INF, e)
+        qk[s] = jnp.minimum(k, i32(nc - 1))
+        qv[s] = v
+        return s + 1, (v < INF) & (s + 1 < f_max)
+
+    n_picked, _ = jax.lax.while_loop(
+        lambda st: st[1], pick_body, (jnp.int32(0), jnp.asarray(True)))
+    # Tail bound: everything unpicked has entry >= this (INF when drained).
+    # The last pick may itself be INF (grid drained inside the loop) —
+    # either way qv is nondecreasing and the walk stops at the first INF.
+    qv[f_max] = jnp.min(ent[:, :])
+
+    def start_dma(slot, k):
+        pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
+                              sem.at[slot]).start()
+
+    def wait_dma(slot, k):
+        pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
+                              sem.at[slot]).wait()
+
+    def pf(s):
+        """Prefetch id for virtual slot s (clamped: never reads junk)."""
+        return qk[jnp.clip(s, 0, n_picked - 1)]
+
+    for j in range(nbuf):
+        start_dma(j, pf(j))
+
+    # Per-ray w = d x o, hoisted.
+    wx = dy * oz - dz * oy
+    wy = dz * ox - dx * oz
+    wz = dx * oy - dy * ox
+    lane_row = jax.lax.broadcasted_iota(i32, (1, c), 1)
+
+    bt_ref[:, :] = tmax0
+    bc_ref[:, :] = jnp.full((ts, 1), -1, i32)
+    if uvt:
+        bu_ref[:, :] = jnp.zeros((ts, 1), f32)
+        bv_ref[:, :] = jnp.zeros((ts, 1), f32)
+        bd_ref[:, :] = jnp.ones((ts, 1), f32)
+        bi_ref[:, :] = jnp.full((ts, 1), -1.0, f32)
+    fin_c = (
+        jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
+        & jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz)
+    )
+    rs_ref[:, :] = (~fin_c | ~(tmax0 > 0.0)).astype(f32)
+
+    def wbody(state):
+        s, _ = state
+        slot = jax.lax.rem(s, nbuf)
+        wait_dma(slot, pf(s))
+        g = buf[slot]
+        k_i = qk[s]
+
+        row_g = lambda r: g[r:r + 1, :]  # (1, C)
+        nx, ny, nz = row_g(0), row_g(1), row_g(2)
+        det = dx * nx + dy * ny + dz * nz
+        udet = (wx * row_g(6) + wy * row_g(7) + wz * row_g(8)
+                + dx * row_g(3) + dy * row_g(4) + dz * row_g(5))
+        vdet = (wx * row_g(12) + wy * row_g(13) + wz * row_g(14)
+                + dx * row_g(9) + dy * row_g(10) + dz * row_g(11))
+        tdet = row_g(15) - (ox * nx + oy * ny + oz * nz)
+
+        if any_hit:
+            okw = det_space_accept_within(det, udet, vdet, tdet, tmax0,
+                                          cull)
+            if has_ignore:
+                tid = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+                tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
+                okw &= (tid != itri) & (tmesh != imesh)
+            fnd = jnp.any(okw, axis=1, keepdims=True)
+            bc_ref[:, :] = jnp.where(fnd, 0, bc_ref[:, :])
+        else:
+            ok = det_space_accept(det, udet, vdet, tdet, cull)
+            if has_ignore:
+                tid = jax.lax.bitcast_convert_type(g[16:17, :], i32)
+                tmesh = jax.lax.bitcast_convert_type(g[17:18, :], i32)
+                ok &= (tid != itri) & (tmesh != imesh)
+            dist = jnp.where(ok, tdet / det, INF)
+            code = k_i * c + lane_row  # (1, C)
+            mint = jnp.min(dist, axis=1, keepdims=True)  # (TS, 1)
+            win = dist == mint
+            pc = jnp.min(jnp.where(win, code, i32(2 ** 30)),
+                         axis=1, keepdims=True)
+            bt = bt_ref[:, :]
+            upd = mint < bt
+            bt_ref[:, :] = jnp.where(upd, mint, bt)
+            bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
+            if uvt:
+                one = (code == pc).astype(f32)
+                tid_f = jax.lax.bitcast_convert_type(
+                    g[16:17, :], i32).astype(f32)
+                sums = lambda q: jnp.sum(one * q, axis=1, keepdims=True)
+                bu_ref[:, :] = jnp.where(upd, sums(udet), bu_ref[:, :])
+                bv_ref[:, :] = jnp.where(upd, sums(vdet), bv_ref[:, :])
+                bd_ref[:, :] = jnp.where(upd, sums(det), bd_ref[:, :])
+                bi_ref[:, :] = jnp.where(upd, sums(tid_f), bi_ref[:, :])
+
+        # Precise prefetch: the id nbuf trips ahead is already known.
+        start_dma(slot, pf(s + nbuf))
+
+        v_next = jnp.where(s + 1 < n_picked,
+                           qv[jnp.clip(s + 1, 0, f_max)], qv[f_max])
+        if any_hit:
+            res_new = (bc_ref[:, :] >= 0) | (tmax0 <= v_next)
+        else:
+            res_new = bt_ref[:, :] <= v_next
+        resolved = (rs_ref[:, :] > 0.0) | res_new
+        rs_ref[:, :] = resolved.astype(f32)
+        settled = jnp.all(resolved)
+
+        nxt_live = ((s + 1 < n_picked) & ~settled
+                    & (qv[jnp.clip(s + 1, 0, f_max)] < INF))
+        return s + 1, nxt_live
+
+    live0 = ((qv[0] < INF)
+             & ~jnp.all(rs_ref[:, :] > 0.0))
+    s_end, _ = jax.lax.while_loop(lambda st: st[1], wbody,
+                                  (jnp.int32(0), live0))
+
+    # Drain: every slot has exactly one outstanding copy — slot
+    # (s_end + j) % nbuf last issued pf(s_end + j) (initially for
+    # s_end <= j, re-issued at trip s_end + j - nbuf otherwise).
+    for j in range(nbuf):
+        wait_dma(jax.lax.rem(s_end + j, nbuf), pf(s_end + j))
+
+    best_t = bt_ref[:, :]
+    best_code = bc_ref[:, :]
+    if any_hit:
+        out_t[0, 0, :] = jnp.where(best_code >= 0, f32(0.0), best_t)[:, 0]
+    else:
+        out_t[0, 0, :] = best_t[:, 0]
+    out_code[0, 0, :] = best_code[:, 0]
+    if uvt:
+        hitm = best_code >= 0
+        safe_det = jnp.where(hitm, bd_ref[:, :], f32(1.0))
+        out_uvt[0, 0, :] = (bu_ref[:, :] / safe_det)[:, 0]
+        out_uvt[0, 1, :] = (bv_ref[:, :] / safe_det)[:, 0]
+        out_uvt[0, 2, :] = bi_ref[:, :][:, 0]
+        out_uvt[0, 3, :] = jnp.zeros((ts, 1), f32)[:, 0]
+    out_res[0, 0, :] = (rs_ref[:, :] > 0.0).astype(i32)[:, 0]
+    out_iters[0, 0, 0] = s_end
+
+
 @functools.partial(
     jax.jit, static_argnames=("ts", "cull", "any_hit", "chunk_k", "ngrp",
                               "has_ignore", "mxu", "mxu_precision",
                               "recull_every", "pretest", "max_trips",
-                              "uvt", "interpret")
+                              "uvt", "prepick", "nbuf", "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
                 cull: bool = True,
@@ -559,6 +847,7 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
                 mxu_precision: str = "highest",
                 recull_every: int = 0, pretest: bool = False,
                 max_trips: int = 0, uvt: bool = False,
+                prepick: int = 0, nbuf: int = 4,
                 interpret: bool = False):
     """Run the fused kernel over (ROWS, NT*TS) packed rays, ``ts`` per tile.
 
@@ -574,6 +863,14 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
     maintain the winner's (u, v, triangle id) in-kernel (one-hot
     extraction per trip) so callers need no gather/recompute epilogue.
 
+    ``prepick`` > 0 switches to the pick-then-walk kernel
+    (``_prepick_kernel``): all front-to-back picks are extracted into SMEM
+    first (at most ``prepick`` of them — overflow tiles come back
+    unresolved for the caller's rescue pass), then a lean walk streams
+    them through an ``nbuf``-deep DMA ring.  Incompatible with the
+    classic-walk-only knobs (mxu, pretest, recull_every, chunk_k > 1,
+    max_trips).
+
     Returns (best_t (NT, TS), code (NT, TS), uvt (NT, 4, TS) or None,
     resolved (NT, TS) 0/1, iters (NT,) loop trips).
     """
@@ -584,12 +881,53 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
     chunk_k = min(chunk_k, nc)
     f32, i32 = jnp.float32, jnp.int32
 
+    if prepick:
+        if mxu or pretest or recull_every or max_trips or chunk_k > 1:
+            raise ValueError(
+                "prepick is incompatible with mxu/pretest/recull_every/"
+                "max_trips/chunk_k>1 (classic-walk-only knobs)")
+        kernel = functools.partial(
+            _prepick_kernel, cull=cull, any_hit=any_hit, nc=nc, nbuf=nbuf,
+            f_max=prepick, has_ignore=has_ignore, uvt=uvt)
+        scratch = [
+            pltpu.VMEM((8, nc8), f32),   # ent
+            pltpu.VMEM((ts, 1), f32),    # bt
+            pltpu.VMEM((ts, 1), i32),    # bc
+            pltpu.VMEM((ts, 1), f32),    # rs
+            pltpu.VMEM((ts, 1), f32),    # bu
+            pltpu.VMEM((ts, 1), f32),    # bv
+            pltpu.VMEM((ts, 1), f32),    # bd
+            pltpu.VMEM((ts, 1), f32),    # bi
+            pltpu.SMEM((prepick,), i32),      # qk
+            pltpu.SMEM((prepick + 1,), f32),  # qv (+ tail bound)
+            pltpu.VMEM((nbuf, 24, csize), f32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ]
+    else:
+        kernel = functools.partial(
+            _fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
+            k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
+            mxu=mxu, mxu_precision=mxu_precision,
+            recull_every=recull_every, pretest=pretest,
+            max_trips=max_trips, uvt=uvt)
+        scratch = [
+            pltpu.VMEM((8, nc8), f32),
+            pltpu.VMEM((8, nc8), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), i32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.VMEM((ts, 1), f32),
+            pltpu.SMEM((ngrp * chunk_k,), i32),
+            pltpu.SMEM((ngrp * chunk_k,), f32),
+            pltpu.VMEM((ngrp * chunk_k, 24, csize), f32),
+            pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
+        ]
+
     outs = pl.pallas_call(
-        functools.partial(_fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
-                          k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
-                          mxu=mxu, mxu_precision=mxu_precision,
-                          recull_every=recull_every, pretest=pretest,
-                          max_trips=max_trips, uvt=uvt),
+        kernel,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -631,21 +969,7 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
             jax.ShapeDtypeStruct((nt, 1, 1), i32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((8, nc8), f32),
-            pltpu.VMEM((8, nc8), f32),
-            pltpu.VMEM((ts, 1), f32),
-            pltpu.VMEM((ts, 1), i32),
-            pltpu.VMEM((ts, 1), f32),
-            pltpu.VMEM((ts, 1), f32),
-            pltpu.VMEM((ts, 1), f32),
-            pltpu.VMEM((ts, 1), f32),
-            pltpu.VMEM((ts, 1), f32),
-            pltpu.SMEM((ngrp * chunk_k,), i32),
-            pltpu.SMEM((ngrp * chunk_k,), f32),
-            pltpu.VMEM((ngrp * chunk_k, 24, csize), f32),
-            pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(root, rays_packed, aabb, block)
     t, code, uvt_out, res, iters = outs
@@ -711,6 +1035,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       any_hit: bool = False, chunk_k: int = 1,
                       ngrp: int = NGRP, mxu=None, recull_every: int = 0,
                       pretest: bool = False, phase1_trips: int = 0,
+                      prepick: int = 0, nbuf: int = 4,
                       return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
@@ -732,7 +1057,15 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     an unbudgeted phase 2 whose per-ray t_max is phase 1's best-so-far.
     Exact: phase 1 bests are true candidate hits, phase 2 proves or
     strictly improves them (ties keep phase 1's earlier-entry winner,
-    matching the single-phase walk's pick order)."""
+    matching the single-phase walk's pick order).
+
+    ``prepick`` > 0 uses the pick-then-walk kernel (``_prepick_kernel``)
+    with at most that many front-to-back picks per tile and an
+    ``nbuf``-deep precise DMA pipeline.  Tiles with more feasible clusters
+    than the pick budget return unresolved rays; a rescue pass (classic
+    walk, resolved rays masked dead, per-ray t_max = the candidate best)
+    finishes them exactly — and runs as a ``lax.cond`` so settled frames
+    skip it entirely."""
     if interpret is None:
         interpret = _default_interpret()
     cl = scene.clusters
@@ -800,11 +1133,47 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     kw = dict(ts=ts, cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
               has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
               pretest=pretest, uvt=uvt, interpret=interpret)
+    if prepick > 0 and phase1_trips > 0:
+        raise ValueError("prepick and phase1_trips are mutually exclusive "
+                         "overflow strategies")
     best_t, code, uvt_out, _res, _iters = fused_tiles(
         packed, cl["aabb"], cl["root"], cl["gblock" if mxu else "block"],
-        max_trips=phase1_trips, **kw,
+        max_trips=phase1_trips, prepick=prepick, nbuf=nbuf, **kw,
     )
-    if phase1_trips > 0:
+    if prepick > 0:
+        # Rescue pass for pick-budget overflow: only runs (lax.cond) when
+        # some ray is unresolved.  Same-tile re-walk with resolved rays
+        # masked dead and t_max = the candidate best — the classic walk
+        # only updates on strictly-closer hits, so ties keep the prepick
+        # walk's earlier-entry winner (the exact single-phase semantics).
+        rp = nt * ts
+        bt1 = best_t.reshape(rp)
+        code1 = code.reshape(rp)
+        res1 = _res.reshape(rp) > 0
+        uvt1 = (uvt_out.transpose(0, 2, 1).reshape(rp, 4) if uvt
+                else jnp.zeros((rp, 4), f32))
+
+        def _rescue(_):
+            d2 = jnp.where(res1[:, None], jnp.float32(jnp.nan), d)
+            packed2 = _pack_rays(o, d2, itri, imesh,
+                                 jnp.where(res1, f32(0.0), bt1), nt, ts)
+            bt2, code2, uvt2, _res2, it2 = fused_tiles(
+                packed2, cl["aabb"], cl["root"], cl["block"],
+                max_trips=0, prepick=0, **kw)
+            bt2 = bt2.reshape(rp)
+            code2 = code2.reshape(rp)
+            upd = ~res1 & (code2 >= 0)
+            btm = jnp.where(upd, bt2, bt1)
+            cdm = jnp.where(upd, code2, code1)
+            uvm = (jnp.where(upd[:, None],
+                             uvt2.transpose(0, 2, 1).reshape(rp, 4), uvt1)
+                   if uvt else uvt1)
+            return btm, cdm, uvm, _iters + it2
+
+        best_t, code, uvt_flat, _iters = jax.lax.cond(
+            jnp.any(~res1), _rescue,
+            lambda _: (bt1, code1, uvt1, _iters), operand=None)
+    elif phase1_trips > 0:
         rp = nt * ts
         bt1 = best_t.reshape(rp)
         code1 = code.reshape(rp)
