@@ -207,8 +207,10 @@ def lockstep_chunks(cl, o, d, itri, imesh, cand, keys, counts, chunk: int,
             v1[:, None], e1[:, None], e2[:, None],
         )
         if cull:
+            from raytpu.core.intersect import facing_gate
+
             sn = cl["tri_snormal"][slot]
-            ok &= dot(sn[:, None], d[:, :, None, :]) <= 0.0
+            ok &= facing_gate(sn[:, None], d[:, :, None, :], cull)
         ok &= tid[:, None, :] >= 0
         ok &= tid[:, None, :] != itri[:, :, None]
         ok &= tmesh[:, None, :] != imesh[:, :, None]
@@ -284,7 +286,10 @@ def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
     )
     counts = jnp.sum(mask, axis=1)  # (NT,)
 
-    zero = jnp.zeros((nt, ts), o.dtype)
+    # Derive from ``o`` (not a fresh constant) so the scan carries inherit
+    # the device-varying manual axes under shard_map — a constant init
+    # trips the while_loop vma check when this runs sharded (diff/fit.py).
+    zero = o[..., 0] * 0.0
     izero = zero.astype(jnp.int32)
     init = (
         counts == 0,

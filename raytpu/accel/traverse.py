@@ -49,7 +49,9 @@ def _tri_hits(scene, origin, direction, tri_idx, ignore_tri, ignore_mesh, cull):
     d = direction[:, None, :]
     ok, u, v, dist = moller_trumbore(o, d, v1, e1, e2)
     if cull:
-        ok &= dot(scene.tri_snormal[tri_idx][None], d) <= 0.0
+        from raytpu.core.intersect import facing_gate
+
+        ok &= facing_gate(scene.tri_snormal[tri_idx][None], d, cull)
     ok &= scene.tri_valid[tri_idx][None]
     ok &= tri_idx[None, :] != ignore_tri[:, None]
     ok &= scene.tri_mesh[tri_idx][None] != ignore_mesh[:, None]
@@ -212,7 +214,9 @@ def nearest_hit_octree(scene, origin, direction, ignore_tri=None,
             leaf_e2[row],
         )
         if cull:
-            ok &= dot(leaf_sn[row], direction[:, None, :]) <= 0.0
+            from raytpu.core.intersect import facing_gate
+
+            ok &= facing_gate(leaf_sn[row], direction[:, None, :], cull)
         ok &= tri_ids >= 0
         ok &= tri_ids != ignore_tri[:, None]
         ok &= leaf_mesh[row] != ignore_mesh[:, None]
@@ -239,7 +243,8 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
                 brute_force_max_tris: int = 4096, cull_tile: int = 256,
                 cull_chunk: int = 1, t_max=None,
                 any_hit: bool = False, cull_pretest: bool = True,
-                cull_recull: int = 6, cull_phase1: int = 0) -> Hit:
+                cull_recull: int = 6, cull_phase1: int = 0,
+                cull_prepick: int = 0, cull_nbuf: int = 4) -> Hit:
     """Dispatch by configured intersector (config.Intersector).
 
     ``any_hit``: occlusion-query mode — the hit/no-hit boolean (against
@@ -303,6 +308,6 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             tile_size=cull_tile, chunk_k=cull_chunk, t_max=t_max,
             any_hit=any_hit, pretest=cull_pretest, recull_every=cull_recull,
-            phase1_trips=cull_phase1,
+            phase1_trips=cull_phase1, prepick=cull_prepick, nbuf=cull_nbuf,
         )
     raise ValueError(mode)

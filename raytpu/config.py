@@ -128,6 +128,22 @@ class RenderConfig:
     cull_pretest: bool = False
     cull_recull: int = 0
     cull_phase1: int = 0
+    # Pick-then-walk kernel (kernels/fused.py::_prepick_kernel): > 0 = max
+    # front-to-back picks per tile, extracted into SMEM before a lean
+    # DMA-pipelined test loop (``cull_nbuf`` buffers deep).  Exact: tiles
+    # whose feasible-cluster count overflows the pick budget fall back to
+    # a classic-walk rescue pass under lax.cond.  0 = classic interleaved
+    # walk.
+    cull_prepick: int = 0
+    cull_nbuf: int = 4
+    # Cast occlusion (shadow) rays FROM the light toward the fragment for
+    # positionable lights in opaque scenes: all rays of the query then
+    # share ONE origin, so ray-tile beams are thin cones and the cull
+    # prunes far more clusters (render/wavefront.py::_light_result).
+    # Semantically the same segment test with mirrored backface culling
+    # (core/intersect.py cull="reverse"); only FP rounding at edge-grazing
+    # occluders and zero-measure endpoint coincidences can differ.
+    shadow_from_light: bool = True
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
     # pixel gradients flow to geometry/normals/UVs/materials/texels through

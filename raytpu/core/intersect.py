@@ -72,6 +72,18 @@ def moller_trumbore_cull(origin, direction, v1, e1, e2, surface_normal):
     return hit & facing, u, v, d
 
 
+def facing_gate(surface_normal, direction, cull):
+    """The backface-cull gate (RayExtensions.cs:48-51) as a mask.
+
+    ``cull="reverse"`` mirrors it for queries cast along the REVERSED ray
+    (render/wavefront.py shadow-from-light): accept iff the triangle would
+    face the original (un-reversed) direction.  One definition for every
+    XLA backend so the mirror can never drift."""
+    if cull == "reverse":
+        return dot(surface_normal, direction) >= 0.0
+    return dot(surface_normal, direction) <= 0.0
+
+
 def ray_aabb(origin, direction, box_min, box_max):
     """XNA ``BoundingBox.Intersects(ref Ray)`` slab test.
 
@@ -110,20 +122,26 @@ def barycentric_point(v1, e1, e2, u, v):
     return v1 + e1 * u[..., None] + e2 * v[..., None]
 
 
-def det_space_accept(det, udet, vdet, tdet, cull: bool):
+def det_space_accept(det, udet, vdet, tdet, cull):
     """Möller–Trumbore acceptance in det-multiplied space (no reciprocal).
 
     The ONE definition shared by the fused Pallas kernel and the ring's
     dense fallback (dist/bigscene.py) so their accept semantics can never
     diverge.  ``cull``: backface culling accepts det < 0 only (sign(det) ==
     sign(dot(snormal, d)) under the accel/clusters.py packing), so the
-    det-multiplied comparisons flip once, statically.  The no-cull branch
-    folds the sign; ``ps > 0`` excludes det == 0, which the reference's
-    guardless division also never accepts (u/v become inf/NaN and fail —
-    RayExtensions.cs:13-75).
+    det-multiplied comparisons flip once, statically.  ``cull="reverse"``
+    accepts det > 0 only — the exact mirror, for queries cast along the
+    REVERSED ray (render/wavefront.py shadow-from-light): a triangle front-
+    facing the original direction is back-facing the reversed one.  The
+    no-cull branch folds the sign; ``ps > 0`` excludes det == 0, which the
+    reference's guardless division also never accepts (u/v become inf/NaN
+    and fail — RayExtensions.cs:13-75).
     """
     import jax.numpy as jnp
 
+    if cull == "reverse":
+        return ((udet >= 0.0) & (vdet >= 0.0) & (tdet >= 0.0)
+                & (udet + vdet <= det) & (det > 0.0))
     if cull:
         return ((udet <= 0.0) & (vdet <= 0.0) & (tdet <= 0.0)
                 & (udet + vdet >= det) & (det < 0.0))
@@ -131,3 +149,26 @@ def det_space_accept(det, udet, vdet, tdet, cull: bool):
     us, vs, ts_, ps = udet * s, vdet * s, tdet * s, det * s
     return ((us >= 0.0) & (vs >= 0.0) & (ts_ >= 0.0)
             & (us + vs <= ps) & (ps > 0.0))
+
+
+def det_space_accept_within(det, udet, vdet, tdet, t_max, cull):
+    """``det_space_accept`` AND hit distance strictly below ``t_max``.
+
+    Still division-free: ``tdet/det < t_max`` becomes a det-sign-aware
+    product comparison.  This is the whole acceptance an occlusion
+    (any-hit) query needs — no per-pair distance, no winner, just "is
+    there a qualifying hit inside the bound" (IsLightPathObstructed,
+    RayTracer.cs:465-502).  Shares ``det_space_accept`` so the occlusion
+    and nearest-hit accept semantics can never diverge.
+    """
+    import jax.numpy as jnp
+
+    ok = det_space_accept(det, udet, vdet, tdet, cull)
+    if cull == "reverse":
+        return ok & (tdet < t_max * det)
+    if cull:
+        # Accepted pairs have det < 0 and tdet <= 0: tdet/det < t_max
+        # flips once under the negative det.
+        return ok & (tdet > t_max * det)
+    s = jnp.where(det < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    return ok & (tdet * s < t_max * (det * s))

@@ -65,26 +65,33 @@ class RaySet(NamedTuple):
     alive: jnp.ndarray
 
 
+def shade_row_views(s):
+    """Field views of packed (…, 32)-float shade rows (FlatScene.tri_shade).
+
+    The ONE layout definition: used by the replicated gather below and by
+    the ring-sharded row resolution of dist/bigscene.py."""
+    return {
+        "v1": s[..., 0:3],
+        "e1": s[..., 3:6],
+        "e2": s[..., 6:9],
+        "n1": s[..., 9:12],
+        "n2": s[..., 12:15],
+        "n3": s[..., 15:18],
+        "uv1": s[..., 18:20],
+        "uv2": s[..., 20:22],
+        "uv3": s[..., 22:24],
+        "snormal": s[..., 24:27],
+        "color": s[..., 27:31],
+        "mesh": jax.lax.bitcast_convert_type(s[..., 31], jnp.int32),
+    }
+
+
 def _gather_tri(scene: FlatScene, tri):
     if scene.tri_shade is not None:
         # One packed (32,)-float row per ray (FlatScene.tri_shade) instead
         # of twelve separate gathers — gathers dominate the XLA-side cost
         # of shading at 1M rays on TPU.
-        s = scene.tri_shade[tri]
-        return {
-            "v1": s[..., 0:3],
-            "e1": s[..., 3:6],
-            "e2": s[..., 6:9],
-            "n1": s[..., 9:12],
-            "n2": s[..., 12:15],
-            "n3": s[..., 15:18],
-            "uv1": s[..., 18:20],
-            "uv2": s[..., 20:22],
-            "uv3": s[..., 22:24],
-            "snormal": s[..., 24:27],
-            "color": s[..., 27:31],
-            "mesh": jax.lax.bitcast_convert_type(s[..., 31], jnp.int32),
-        }
+        return shade_row_views(scene.tri_shade[tri])
     g = lambda arr: arr[tri]
     return {
         "v1": g(scene.tri_v1),
@@ -122,8 +129,31 @@ def _surface_color(scene: FlatScene, cfg: RenderConfig, tri_data, mat, u, v):
     return jnp.where(use[..., None], tex, base)
 
 
+def _default_query(cfg: RenderConfig):
+    """Bind cfg's intersector knobs into the standard nearest-hit query.
+
+    The renderer reaches geometry ONLY through a ``query`` callable (and
+    per-triangle data only through ``gather``), so alternative backends —
+    the ring-sharded >HBM intersector of dist/bigscene.py — inject theirs
+    and reuse every line of the level/shading logic."""
+
+    def query(scene, origin, direction, *, ignore_tri=None,
+              ignore_mesh=None, t_max=None, any_hit=False, cull=True):
+        return nearest_hit(
+            scene, origin, direction, ignore_tri=ignore_tri,
+            ignore_mesh=ignore_mesh, cull=cull,
+            intersector=cfg.intersector, block=cfg.tri_block,
+            brute_force_max_tris=cfg.brute_force_max_tris,
+            cull_tile=cfg.cull_tile, cull_chunk=cfg.cull_chunk,
+            cull_pretest=cfg.cull_pretest, cull_recull=cfg.cull_recull,
+            cull_phase1=cfg.cull_phase1, cull_prepick=cfg.cull_prepick,
+            cull_nbuf=cfg.cull_nbuf, t_max=t_max, any_hit=any_hit)
+
+    return query
+
+
 def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
-                  hit_tri, valid):
+                  hit_tri, valid, query, gather):
     """Per-fragment light sum with shadow rays (RayTracer.cs:533-542).
 
     Shadow attenuation: opaque occluder blocks fully, transparent occluder
@@ -150,28 +180,49 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
         # differentiable mode (outputs are stop-gradient'ed below; the
         # Pallas kernel has no JVP rule).
         sg = jax.lax.stop_gradient if cfg.differentiable else (lambda x: x)
-        shadow = nearest_hit(
-            jax.tree.map(sg, scene) if cfg.differentiable else scene,
-            sg(frag_pos),
-            sg(jnp.where(lit[..., None], sdir, nanv)),
-            ignore_tri=hit_tri,
-            cull=True,
-            intersector=cfg.intersector,
-            block=cfg.tri_block,
-            brute_force_max_tris=cfg.brute_force_max_tris,
-            cull_tile=cfg.cull_tile,
-            cull_chunk=cfg.cull_chunk,
-            cull_pretest=cfg.cull_pretest,
-            cull_recull=cfg.cull_recull,
-            cull_phase1=cfg.cull_phase1,
-            # Bound the search at the light: occluders beyond it are
-            # irrelevant and unoccluded rays stop scanning early.
-            t_max=sg(sdist),
-            # Opaque scenes only need the occlusion boolean, so the query
-            # may stop at the first qualifying hit.  Transparent scenes
-            # need the *nearest* occluder (its alpha attenuates the light).
-            any_hit=not scene.has_transparent,
+        # Shadow-from-light reversal (opaque scenes, positionable lights):
+        # cast the segment test from the LIGHT toward the fragment.  All
+        # rays of the query then share one origin — tile beams become thin
+        # cones and the conservative cull prunes far more clusters
+        # (measured 1.9x on the v5e bench terrain, docs/PERF.md r4).  The
+        # accepted-triangle set is identical: same segment, same t-bound,
+        # mirrored backface culling (cull="reverse"); only FP rounding at
+        # edge-grazing occluders can flip.  Opaque-only because the
+        # transparent path needs the occluder NEAREST THE FRAGMENT
+        # (RayTracer.cs:465-502) and reversal finds the one nearest the
+        # light.
+        reverse = (
+            cfg.shadow_from_light
+            and not scene.has_transparent
+            and i < len(scene.light_kinds)
+            and scene.light_kinds[i] == lights_mod.SPOT
         )
+        if reverse:
+            shadow = query(
+                jax.tree.map(sg, scene) if cfg.differentiable else scene,
+                sg(jnp.broadcast_to(lt["position"][i], frag_pos.shape)),
+                sg(jnp.where(lit[..., None], -sdir, nanv)),
+                ignore_tri=hit_tri,
+                cull="reverse",
+                t_max=sg(sdist),
+                any_hit=True,
+            )
+        else:
+            shadow = query(
+                jax.tree.map(sg, scene) if cfg.differentiable else scene,
+                sg(frag_pos),
+                sg(jnp.where(lit[..., None], sdir, nanv)),
+                ignore_tri=hit_tri,
+                cull=True,
+                # Bound the search at the light: occluders beyond it are
+                # irrelevant and unoccluded rays stop scanning early.
+                t_max=sg(sdist),
+                # Opaque scenes only need the occlusion boolean, so the
+                # query may stop at the first qualifying hit.  Transparent
+                # scenes need the *nearest* occluder (its alpha attenuates
+                # the light).
+                any_hit=not scene.has_transparent,
+            )
         if cfg.differentiable:
             # Shadow visibility is discrete: detach the query (also severs
             # reverse-mode from the traversal while_loop); transparent-
@@ -179,10 +230,14 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             shadow = jax.tree.map(jax.lax.stop_gradient, shadow)
         obstructed = shadow.hit & (shadow.t < sdist)
         if scene.has_transparent:
+            # Occluder mesh + alpha through the injected gather (one shade
+            # row instead of two scalar gathers) so the ring-sharded >HBM
+            # path resolves them from its row shards too.
+            occ = gather(scene, shadow.tri)
             occ_transparent = scene.mat_transparent[
-                scene.mesh_material[scene.tri_mesh[shadow.tri]]
+                scene.mesh_material[occ["mesh"]]
             ]
-            occ_alpha = scene.tri_color[shadow.tri, 3]
+            occ_alpha = occ["color"][..., 3]
             light_amount = jnp.where(
                 obstructed, jnp.where(occ_transparent, occ_alpha, 1.0), 0.0
             )
@@ -197,19 +252,26 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
 
 
 def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
-                 is_max_level: bool, capture_hits: bool = False):
+                 is_max_level: bool, capture_hits: bool = False,
+                 query=None, gather=_gather_tri):
     """One wavefront level: intersect + shade + spawn children.
 
     ``capture_hits``: additionally return ``(hit, frag_pos)`` so debug
     tooling (render/debug.py) reuses this level's intersection instead of
     re-querying — the captured path is *the* renderer's computation, with
-    no second query that could drift from it."""
+    no second query that could drift from it.
+
+    ``query``/``gather``: the intersection and per-triangle-data backends
+    (default: cfg-bound ``nearest_hit`` + replicated ``tri_shade`` rows);
+    dist/bigscene.py injects ring-sharded >HBM implementations."""
+    if query is None:
+        query = _default_query(cfg)
     # In differentiable mode the discrete query is detached (its outputs
     # are stop-gradient'ed below and (u, v, t) recomputed), so detach its
     # INPUTS too: AD then never enters the intersector at all — required
     # for the Pallas kernel (no JVP rule) and pure savings elsewhere.
     sg = jax.lax.stop_gradient if cfg.differentiable else (lambda x: x)
-    hit = nearest_hit(
+    hit = query(
         jax.tree.map(sg, scene) if cfg.differentiable else scene,
         sg(rays.origin),
         # Dead lanes become non-finite: they can never hit and the tiled
@@ -219,14 +281,6 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
         ignore_tri=rays.ignore_tri,
         ignore_mesh=rays.ignore_mesh,
         cull=True,
-        intersector=cfg.intersector,
-        block=cfg.tri_block,
-        brute_force_max_tris=cfg.brute_force_max_tris,
-        cull_tile=cfg.cull_tile,
-        cull_chunk=cfg.cull_chunk,
-        cull_pretest=cfg.cull_pretest,
-        cull_recull=cfg.cull_recull,
-        cull_phase1=cfg.cull_phase1,
     )
     soft_vis = None
     if cfg.differentiable:
@@ -256,7 +310,7 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
 
     mask = hit.hit & rays.alive
     tri = hit.tri
-    td = _gather_tri(scene, tri)
+    td = gather(scene, tri)
     mat = scene.mesh_material[td["mesh"]]
 
     # Fragment normal (RayTracer.cs:520-531).
@@ -273,7 +327,8 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     # since instances are baked).
     frag_pos = td["v1"] + td["e1"] * hit.u[..., None] + td["e2"] * hit.v[..., None]
 
-    light = _light_result(scene, cfg, frag_pos, normal, tri, mask)
+    light = _light_result(scene, cfg, frag_pos, normal, tri, mask, query,
+                          gather)
     surface = _surface_color(scene, cfg, td, mat, hit.u, hit.v)
 
     refl = scene.mat_reflect[mat][..., None]
@@ -366,7 +421,8 @@ def debug_mode_colors(scene: FlatScene, cfg: RenderConfig, origin, direction):
         brute_force_max_tris=cfg.brute_force_max_tris,
         cull_tile=cfg.cull_tile, cull_chunk=cfg.cull_chunk,
         cull_pretest=cfg.cull_pretest, cull_recull=cfg.cull_recull,
-        cull_phase1=cfg.cull_phase1,
+        cull_phase1=cfg.cull_phase1, cull_prepick=cfg.cull_prepick,
+        cull_nbuf=cfg.cull_nbuf,
     )
     td = _gather_tri(scene, hit.tri)
     mat = scene.mesh_material[td["mesh"]]
@@ -390,12 +446,16 @@ def debug_mode_colors(scene: FlatScene, cfg: RenderConfig, origin, direction):
 
 
 def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
-                 alive=None):
+                 alive=None, query=None, gather=_gather_tri):
     """Batched CastRay: colors for an arbitrary set of primary rays.
 
     Implements the full recursion of RayTracer.CastRay as a forward
     expansion + backward combine (see module docstring).  Miss = black
     (RayTracer.cs:729-735).
+
+    ``query``/``gather``: see ``_trace_level`` — dist/bigscene.py injects
+    the ring-sharded backends here to render >HBM scenes with this exact
+    level/shading code.
     """
     if cfg.render_mode != RenderMode.SHADED:
         return debug_mode_colors(scene, cfg, origin, direction)
@@ -412,7 +472,8 @@ def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
     records = []
     for level in range(cfg.max_reflections + 1):
         is_max = level == cfg.max_reflections
-        record, children = _trace_level(scene, cfg, rays, is_max)
+        record, children = _trace_level(scene, cfg, rays, is_max,
+                                        query=query, gather=gather)
         records.append(record)
         if not is_max:
             refl_rays, refr_rays = children

@@ -217,6 +217,11 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
         num_tris=num_tris,
         num_meshes=mesh_id,
         num_lights=len(scene.lights),
+        light_kinds=tuple(
+            lights_mod.SPOT if isinstance(lt, lights_mod.SpotLight)
+            else lights_mod.DIRECTIONAL
+            for lt in scene.lights
+        ),
         has_transparent=bool(any(m.transparent for m in materials)),
         has_textures=bool(tex_list),
     )

@@ -200,6 +200,10 @@ class FlatScene(flax.struct.PyTreeNode):
     num_tris: int = flax.struct.field(pytree_node=False, default=0)
     num_meshes: int = flax.struct.field(pytree_node=False, default=0)
     num_lights: int = flax.struct.field(pytree_node=False, default=0)
+    # Static per-light kind tags (lights.SPOT / lights.DIRECTIONAL), used
+    # to pick light-static query shapes (the shadow-from-light reversal in
+    # render/wavefront.py needs a position — spot lights only).
+    light_kinds: tuple = flax.struct.field(pytree_node=False, default=())
     has_transparent: bool = flax.struct.field(pytree_node=False, default=False)
     has_textures: bool = flax.struct.field(pytree_node=False, default=False)
 

@@ -388,3 +388,115 @@ class TestFusedKernelFlags:
                                    rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(hb.tri)[m],
                                       np.asarray(hf.tri)[m])
+
+
+class TestPrepickKernel:
+    """Pick-then-walk kernel (kernels/fused.py::_prepick_kernel): same
+    results as the classic walk for any pick budget — overflow tiles are
+    finished exactly by the lax.cond rescue pass."""
+
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=16)
+
+    def _rays(self, n=128, seed=7):
+        rng = np.random.default_rng(seed)
+        o = jnp.asarray(rng.normal(0, 8, (n, 3)), jnp.float32)
+        d = rng.normal(0, 1, (n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return o, jnp.asarray(d, jnp.float32)
+
+    @pytest.mark.parametrize("prepick", [2, 4, 64])
+    def test_nearest_matches_brute(self, flat, prepick):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays()
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hf = nearest_hit_fused(flat, o, d, tile_size=32, interpret=True,
+                               prepick=prepick, nbuf=3)
+        np.testing.assert_array_equal(np.asarray(hf.hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hf.t)[m], np.asarray(hb.t)[m],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(hf.tri)[m],
+                                      np.asarray(hb.tri)[m])
+
+    @pytest.mark.parametrize("prepick", [0, 3, 64])
+    def test_any_hit_with_tmax(self, flat, prepick):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(96, seed=13)
+        tm = jnp.full((96,), 18.0, jnp.float32)
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        ha = nearest_hit_fused(flat, o, d, tile_size=32, t_max=tm,
+                               any_hit=True, interpret=True, prepick=prepick)
+        occ = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
+        np.testing.assert_array_equal(np.asarray(ha.hit), occ)
+        # Cheap any_hit contract: reported t for hits stays below t_max.
+        assert np.all(np.asarray(ha.t)[occ] < 18.0)
+
+    def test_ignore_and_nonfinite(self, flat):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(64, seed=3)
+        o = o.at[5, 1].set(jnp.nan)
+        hb0 = nearest_hit_brute(flat, o, d, block=128)
+        itri = jnp.where(jnp.arange(64) % 2 == 0, hb0.tri, -1).astype(
+            jnp.int32)
+        hb = nearest_hit_brute(flat, o, d, ignore_tri=itri, block=128)
+        hf = nearest_hit_fused(flat, o, d, ignore_tri=itri, tile_size=32,
+                               interpret=True, prepick=5)
+        assert not bool(hf.hit[5])
+        np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hf.hit))
+
+
+class TestReverseCull:
+    """cull="reverse" (core/intersect.py): the segment occlusion test cast
+    from the opposite end accepts exactly the triangles the forward
+    backface-culled test accepts (the shadow-from-light reversal's
+    foundation) — across brute, tiled and fused backends."""
+
+    @pytest.fixture(scope="class")
+    def flat(self):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=16)
+
+    def test_segment_occlusion_matches_forward(self, flat):
+        from raytpu.accel.tiled import nearest_hit_tiled
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        rng = np.random.default_rng(21)
+        n = 96
+        a = rng.uniform(-12, 12, (n, 3)).astype(np.float32)  # fragment end
+        a[:, 1] = np.abs(a[:, 1])
+        b = np.tile(np.array([[0.0, 5.0, 20.0]], np.float32), (n, 1))
+        seg = b - a
+        dist = np.linalg.norm(seg, axis=1)
+        fwd_d = jnp.asarray(seg / dist[:, None])
+        rev_d = -fwd_d
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        tmax = jnp.asarray(dist)
+
+        h_fwd = nearest_hit_brute(flat, a, fwd_d, block=128, t_max=tmax,
+                                  cull=True)
+        occ_fwd = np.asarray(h_fwd.hit) & (np.asarray(h_fwd.t)
+                                           < np.asarray(tmax))
+        h_rev_b = nearest_hit_brute(flat, b, rev_d, block=128, t_max=tmax,
+                                    cull="reverse")
+        occ_rev = np.asarray(h_rev_b.hit) & (np.asarray(h_rev_b.t)
+                                             < np.asarray(tmax))
+        np.testing.assert_array_equal(occ_rev, occ_fwd)
+
+        h_rev_t = nearest_hit_tiled(flat, b, rev_d, cull="reverse",
+                                    tile_size=32, t_max=tmax, any_hit=True)
+        np.testing.assert_array_equal(np.asarray(h_rev_t.hit), occ_fwd)
+
+        h_rev_f = nearest_hit_fused(flat, b, rev_d, cull="reverse",
+                                    tile_size=32, t_max=tmax, any_hit=True,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(h_rev_f.hit), occ_fwd)
