@@ -109,6 +109,27 @@ def unproject(screen, view, proj, viewport_wh, world=None):
     return xyz / a[..., None]
 
 
+def unproject_h(screen, view, proj, viewport_wh, world=None):
+    """``unproject`` without the final perspective division: (xyz, a).
+
+    Ray generation combines near/far unprojections in homogeneous space
+    (core/camera.py::rays_through_screen): the far point's ``a`` can round
+    to exactly 0.0 in f32 (the far plane maps to w ~ 0 and the dot product
+    cancels), which made ``far/a - near/a_n`` produce inf/NaN directions
+    for whole scanlines at some camera poses.  ``xyz_f * a_n - xyz_n * a_f``
+    is the same direction up to positive scale, exact in the a_f -> 0
+    limit (the homogeneous point at infinity IS the direction)."""
+    w, h = viewport_wh
+    m = view @ proj if world is None else world @ view @ proj
+    inv = jnp.linalg.inv(m)
+    screen = jnp.asarray(screen, jnp.float32)
+    sx = screen[..., 0] / w * 2.0 - 1.0
+    sy = -(screen[..., 1] / h * 2.0 - 1.0)
+    sz = screen[..., 2]
+    src = jnp.stack([sx, sy, sz], axis=-1)
+    return transform_homogeneous(src, inv)
+
+
 def rotation_x(angle):
     """XNA ``Matrix.CreateRotationX`` (row-vector)."""
     c, s = jnp.cos(angle), jnp.sin(angle)
