@@ -123,11 +123,19 @@ def shard_scene_clusters(flat, mesh: Mesh) -> dict:
 def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
                      ignore_tri=None, ignore_mesh=None, cull: bool = True,
                      tile_size: int = 256, t_max=None,
-                     intersector: str = "auto") -> Hit:
+                     intersector: str = "auto",
+                     any_hit: bool = False) -> Hit:
     """Exact nearest hit over ring-sharded geometry (module docstring).
 
     ``origin``/``direction``: (R, 3) world rays (replicated or host
     arrays); result order matches input order.
+
+    ``any_hit``: occlusion-query mode — only the ``hit`` boolean (and the
+    bounded ``t``) are meaningful (accel/traverse.nearest_hit docstring);
+    the in-shard queries then skip all winner bookkeeping.  Every shard is
+    still visited (the ring is lockstep), but shards after the first hit
+    settle immediately (the running best enters as ``t_max``; a found
+    occlusion drives it to 0).
     """
     assert len(mesh.axis_names) == 1, "ring sharding wants a 1-D mesh"
     axis = mesh.axis_names[0]
@@ -164,8 +172,9 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
         # the packed block is the exact fallback (NOT nearest_hit_tiled,
         # which would need per-shard triangle SoA tables we don't ship).
         use_fused = False
-    if shards.get("global_slots", 0) >= (1 << 24):
-        # The fused uvt winner-id extraction needs f32-exact GLOBAL ids.
+    if not any_hit and shards.get("global_slots", 0) >= (1 << 24):
+        # The fused uvt winner-id extraction needs f32-exact GLOBAL ids
+        # (occlusion queries never extract ids — no limit there).
         use_fused = False
 
     spec = P(axis)
@@ -195,7 +204,7 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
             o2, d2, it2, im2, tm2, best = state
             cap = jnp.minimum(tm2, best.t)
             h = _local_query(local, o2, d2, it2, im2, cap, cull,
-                             tile_size, use_fused, has_ignore)
+                             tile_size, use_fused, has_ignore, any_hit)
             upd = h.hit & (h.t < best.t)
             best = Hit(
                 hit=best.hit | upd,
@@ -224,7 +233,7 @@ def nearest_hit_ring(shards: dict, origin, direction, mesh: Mesh,
 
 
 def _local_query(local, o, d, itri, imesh, cap, cull, tile_size, use_fused,
-                 has_ignore):
+                 has_ignore, any_hit=False):
     if use_fused:
         from raytpu.kernels.fused import nearest_hit_fused
 
@@ -232,7 +241,8 @@ def _local_query(local, o, d, itri, imesh, cap, cull, tile_size, use_fused,
                                  ignore_tri=itri if has_ignore else None,
                                  ignore_mesh=imesh if has_ignore else None,
                                  cull=cull,
-                                 tile_size=tile_size, t_max=cap)
+                                 tile_size=tile_size, t_max=cap,
+                                 any_hit=any_hit)
     # XLA fallback: a dense front-to-back chunk scan needs the per-cluster
     # triangle arrays; reconstruct the dict views the tiled path reads from
     # the packed block is overkill — run the brute Möller–Trumbore over the
@@ -290,3 +300,164 @@ def _brute_from_block(cl, o, d, itri, imesh, cap, cull, has_ignore=True):
     (bt, bu, bv, btri), _ = jax.lax.scan(body, init, block)
     hit = btri >= 0
     return Hit(hit=hit, t=jnp.where(hit, bt, INF), u=bu, v=bv, tri=btri)
+
+
+# ---------------------------------------------------------------------------
+# >HBM rendering: ring-sharded shade rows + the full wavefront on the ring.
+# ---------------------------------------------------------------------------
+
+
+def shard_scene_shade(flat, mesh: Mesh) -> dict:
+    """Split ``flat.tri_shade`` into per-device row shards over ``mesh``.
+
+    Rows are partitioned by ORIGINAL triangle id ranges (device i holds
+    rows [i*Ts, (i+1)*Ts)), independent of the geometry shard boundaries —
+    winner resolution is its own ring pass (``gather_rows_ring``), so the
+    partitions need not align.  Padding rows are zero (gathered only for
+    masked-out lanes)."""
+    if flat.tri_shade is None:
+        raise ValueError("ring shading needs the packed tri_shade bake")
+    n = mesh.size
+    rows = np.asarray(flat.tri_shade)
+    t = rows.shape[0]
+    ts = -(-t // n)
+    padded = np.zeros((n * ts, rows.shape[1]), np.float32)
+    padded[:t] = rows
+    stacked = padded.reshape(n, ts, rows.shape[1])
+    axis = mesh.axis_names[0]
+    arr = jax.device_put(jnp.asarray(stacked),
+                         NamedSharding(mesh, P(axis)))
+    return {"shade": arr, "rows_per_shard": ts, "n_shards": n}
+
+
+def gather_rows_ring(shade: dict, ids, mesh: Mesh):
+    """Resolve shade rows for per-ray triangle ids from ring shards.
+
+    The winner-resolution pass the module docstring deferred: the (R,)
+    ``ids`` (original triangle ids; negative = none → zero row) rotate
+    around the ring with a (R, 32) accumulator; each device contributes
+    the rows it owns.  What rides ICI is ids + rows (~132 B/ray/hop) —
+    the shade table itself never moves."""
+    axis = mesh.axis_names[0]
+    n = mesh.size
+    ts = shade["rows_per_shard"]
+    f32, i32 = jnp.float32, jnp.int32
+    r = ids.shape[0]
+    chunk = -(-r // n)
+    pad = chunk * n - r
+    ids_p = jnp.asarray(ids, i32)
+    if pad:
+        ids_p = jnp.concatenate([ids_p, jnp.full((pad,), -1, i32)])
+    spec = P(axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=spec, check_vma=False)
+    def ring(sh, ids_):
+        sh = sh[0]  # (Ts, 32)
+        base = jax.lax.axis_index(axis) * ts
+        acc = jnp.zeros((ids_.shape[0], sh.shape[1]), f32)
+        state = (ids_, acc)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        for _ in range(n):
+            ids2, acc2 = state
+            local = ids2 - base
+            mine = (local >= 0) & (local < ts)
+            rows = sh[jnp.clip(local, 0, ts - 1)]
+            acc2 = jnp.where(mine[:, None], rows, acc2)
+            state = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, perm), (ids2, acc2))
+        return state[1]
+
+    out = ring(shade["shade"], ids_p)
+    return out.reshape(n * chunk, -1)[:r]
+
+
+def strip_for_ring(flat):
+    """A FlatScene with every per-triangle table dropped.
+
+    The ring renderer reaches geometry only through the injected
+    query/gather backends, so the big tables (tri_shade, the SoA arrays,
+    clusters, octree) need not exist device-resident — this is what makes
+    the scene >HBM-capable.  The small tables (materials, meshes, lights,
+    textures) stay replicated.  (Texture atlases are NOT sharded — a
+    texture-heavy >HBM corpus would shard them the same way; out of scope,
+    documented.)"""
+    none_fields = dict(
+        tri_v1=None, tri_e1=None, tri_e2=None, tri_n1=None, tri_n2=None,
+        tri_n3=None, tri_uv1=None, tri_uv2=None, tri_uv3=None,
+        tri_snormal=None, tri_color=None, tri_mesh=None, tri_valid=None,
+        octree=None, clusters=None, tri_shade=None,
+    )
+    return flat.replace(**none_fields)
+
+
+def make_ring_backends(shards: dict, shade: dict, mesh: Mesh,
+                       tile_size: int = 256, intersector: str = "auto"):
+    """(query, gather) callables for render/wavefront.py injection.
+
+    ``query`` is ``nearest_hit_ring`` over the geometry shards; ``gather``
+    resolves packed shade rows with ``gather_rows_ring``.  With these, the
+    UNMODIFIED wavefront level/shading code (reflections, refraction,
+    shadows with transparent-occluder attenuation, textures) renders
+    scenes whose triangle tables exceed one device's HBM."""
+
+    def query(scene, origin, direction, *, ignore_tri=None,
+              ignore_mesh=None, t_max=None, any_hit=False, cull=True):
+        return nearest_hit_ring(
+            shards, origin, direction, mesh, ignore_tri=ignore_tri,
+            ignore_mesh=ignore_mesh, cull=cull, tile_size=tile_size,
+            t_max=t_max, intersector=intersector, any_hit=any_hit)
+
+    def gather(scene, tri):
+        from raytpu.render.wavefront import shade_row_views
+
+        return shade_row_views(gather_rows_ring(shade, tri, mesh))
+
+    return query, gather
+
+
+def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
+                     shards: Optional[dict] = None,
+                     shade: Optional[dict] = None):
+    """Trace a ray batch against ring-sharded geometry (>HBM scenes).
+
+    ``flat`` provides the replicated small tables (materials, lights,
+    textures); its per-triangle tables are not touched — pass
+    ``strip_for_ring(flat)`` plus prebuilt ``shards``/``shade`` for a true
+    >HBM deployment.  Exact pixel parity with the replicated renderer
+    (tested on the 8-device CPU mesh, tests/test_dist.py)."""
+    if cfg.differentiable:
+        raise NotImplementedError(
+            "differentiable ring rendering is not built (the recompute "
+            "path gathers replicated SoA tables)")
+    if shards is None:
+        shards = shard_scene_clusters(flat, mesh)
+    if shade is None:
+        shade = shard_scene_shade(flat, mesh)
+    query, gather = make_ring_backends(shards, shade, mesh,
+                                       tile_size=cfg.cull_tile)
+    from raytpu.render.wavefront import trace_colors
+
+    return trace_colors(flat, cfg, origin, direction, query=query,
+                        gather=gather)
+
+
+def render_image_ring(flat, cfg, camera=None, mesh: Mesh = None,
+                      shards: Optional[dict] = None,
+                      shade: Optional[dict] = None):
+    """Full-frame ring-sharded render → (H, W, 3) float32.
+
+    The >HBM half of BASELINE config 5: rays are data-parallel over the
+    ring devices while the geometry + shade tables stay sharded; the
+    output frame is assembled on the host exactly like render_image."""
+    from raytpu.core.camera import Camera, camera_rays
+    from raytpu.render.wavefront import block_order_perm
+
+    camera = camera or Camera(aspect=cfg.width / cfg.height)
+    o, d = camera_rays(camera, cfg.width, cfg.height)
+    block = max(1, int(cfg.cull_tile ** 0.5))
+    perm = block_order_perm(cfg.width, cfg.height, block)
+    colors = render_rays_ring(flat, cfg, o[perm], d[perm], mesh,
+                              shards=shards, shade=shade)
+    out = jnp.zeros_like(colors).at[perm].set(colors)
+    return out.reshape(cfg.height, cfg.width, 3)

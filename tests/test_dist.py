@@ -131,3 +131,67 @@ class TestRingShardedBigScene:
         o, d = self._rays(37, seed=2)  # not divisible by 4
         hr = nearest_hit_ring(shards, o, d, mesh)
         assert hr.hit.shape == (37,)
+
+
+class TestRingRendering:
+    """>HBM rendering end-to-end (dist/bigscene.py): geometry AND shade
+    rows sharded over the mesh, the full wavefront running through the
+    injected ring query/gather — pixel parity with the replicated
+    renderer (BASELINE config 5's >HBM half)."""
+
+    def test_gather_rows_ring_matches_table(self):
+        from raytpu.dist.bigscene import gather_rows_ring, shard_scene_shade
+        from raytpu.dist.mesh import make_mesh
+
+        fl = sphere_and_plane_scene().flatten(build_octree=False,
+                                              cluster_size=16)
+        mesh = make_mesh()
+        shade = shard_scene_shade(fl, mesh)
+        # Each device holds only its row shard.
+        assert shade["shade"].shape[0] == mesh.size
+        t = fl.tri_shade.shape[0]
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(-1, t, size=53), jnp.int32)
+        rows = np.asarray(gather_rows_ring(shade, ids, mesh))
+        want = np.asarray(fl.tri_shade)[np.asarray(ids)]
+        want[np.asarray(ids) < 0] = 0.0
+        np.testing.assert_array_equal(rows, want)
+
+    @pytest.mark.parametrize("transparent", [False, True])
+    def test_ring_render_matches_replicated(self, transparent):
+        from raytpu.dist.bigscene import render_image_ring
+        from raytpu.dist.mesh import make_mesh
+
+        fl = sphere_and_plane_scene(
+            reflect=0.4, textured=True, transparent=transparent,
+        ).flatten(build_octree=False, cluster_size=16)
+        cfg = small_cfg(width=32, height=24, max_reflections=2,
+                        intersector=Intersector.TILED)
+        cam = default_camera(aspect=32 / 24)
+        mesh = make_mesh()
+        img_ring = np.asarray(render_image_ring(fl, cfg, cam, mesh))
+        img_rep = np.asarray(render_image(fl, cfg, cam))
+        np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
+
+    def test_ring_render_needs_no_triangle_tables(self):
+        """strip_for_ring drops every per-triangle array; rendering from
+        prebuilt shards alone proves the >HBM property (no code path
+        touches a replicated triangle table)."""
+        from raytpu.dist.bigscene import (render_image_ring,
+                                          shard_scene_clusters,
+                                          shard_scene_shade, strip_for_ring)
+        from raytpu.dist.mesh import make_mesh
+
+        fl = sphere_and_plane_scene(reflect=0.3).flatten(
+            build_octree=False, cluster_size=16)
+        mesh = make_mesh()
+        shards = shard_scene_clusters(fl, mesh)
+        shade = shard_scene_shade(fl, mesh)
+        cfg = small_cfg(width=24, height=24, max_reflections=1)
+        cam = default_camera()
+        img_rep = np.asarray(render_image(fl, cfg, cam))
+        stripped = strip_for_ring(fl)
+        assert stripped.tri_shade is None and stripped.tri_v1 is None
+        img_ring = np.asarray(render_image_ring(
+            stripped, cfg, cam, mesh, shards=shards, shade=shade))
+        np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
