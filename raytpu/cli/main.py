@@ -173,21 +173,69 @@ def _dump_config(cfg, out_path: str) -> None:
         f.write(cfg.to_json())
 
 
+def _mesh(args):
+    """Device mesh from --devices (None = single device)."""
+    spec = getattr(args, "devices", "1")
+    if spec in (None, "1", 1):
+        return None
+    import jax
+
+    from raytpu.dist.mesh import make_mesh
+
+    devs = jax.devices()
+    n = len(devs) if spec == "all" else int(spec)
+    if n <= 1:
+        return None
+    if n > len(devs):
+        raise SystemExit(
+            f"--devices {spec}: only {len(devs)} devices available")
+    return make_mesh(devices=devs[:n])
+
+
+def _render_frame(flat, cfg, cam, mesh, ring: bool, progress=None,
+                  watch_path=None):
+    """One frame through the configured execution mode.
+
+    Parallel rendering is a first-class product path, not a library
+    corner — the reference's scanline pool is its DEFAULT execution mode
+    (RayTracer.cs:48-120); here ``--devices all`` shards rays over the
+    mesh (dist/render.py) and ``--ring`` additionally ring-shards the
+    geometry + shade tables for >HBM scenes (dist/bigscene.py)."""
+    if mesh is not None and ring:
+        from raytpu.dist.bigscene import render_image_ring
+
+        return render_image_ring(flat, cfg, cam, mesh)
+    if mesh is not None:
+        from raytpu.dist import render_image_sharded, replicate_scene
+
+        return render_image_sharded(replicate_scene(flat, mesh), cfg, cam,
+                                    mesh)
+    from raytpu.render import render_image
+
+    return render_image(flat, cfg, cam, progress=progress,
+                        watch_path=watch_path)
+
+
 def cmd_render(args) -> int:
     from raytpu.io.image import write_image
-    from raytpu.render import render_image
 
     scene, scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
     cam = _camera(args, args.width / args.height, scene_cam)
+    mesh = _mesh(args)
     progress = None
-    if args.progress:
+    if args.progress and mesh is None:
         # The reference's on-screen "N.NN %" overlay (Game1.cs:331-344).
         progress = lambda done, total: print(
             f"\r{100.0 * done / total:6.2f} %", end="", flush=True)
-    img = render_image(flat, cfg, cam, progress=progress,
-                       watch_path=args.out if args.watch else None)
+    elif args.progress:
+        print("(--progress is per-tile host dispatch; ignored with "
+              "--devices > 1)")
+    img = _render_frame(flat, cfg, cam, mesh, getattr(args, "ring", False),
+                        progress=progress,
+                        watch_path=args.out if args.watch and mesh is None
+                        else None)
     if args.progress:
         print()
     write_image(args.out, img)
@@ -201,12 +249,12 @@ def cmd_animate(args) -> int:
     """Turntable render -> per-frame PNGs -> AVI (Game1.cs:143-210)."""
     from raytpu.io.avi import open_avi
     from raytpu.io.image import write_image
-    from raytpu.render import render_image
 
     scene, scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
     base_cam = _camera(args, args.width / args.height, scene_cam)
+    mesh = _mesh(args)
 
     frame_dir = args.frame_dir or os.path.splitext(args.out)[0] + "_frames"
     os.makedirs(frame_dir, exist_ok=True)
@@ -241,7 +289,8 @@ def cmd_animate(args) -> int:
                 target=base_cam.target, fov=base_cam.fov,
                 aspect=args.width / args.height,
             )
-            img = np.asarray(render_image(flat, cfg, cam))
+            img = np.asarray(_render_frame(
+                flat, cfg, cam, mesh, getattr(args, "ring", False)))
             frame = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
             write_image(fp, img)
             w.add_frame(frame)
@@ -308,6 +357,7 @@ def cmd_fit(args) -> int:
         flat, cfg, cam, target, fields=fields, steps=args.steps,
         learning_rate=args.lr, checkpoint_dir=args.out,
         checkpoint_every=max(args.steps // 4, 1),
+        mesh=_mesh(args),
     )
     final = render_image(fitted, cfg, cam)
     write_image(os.path.join(args.out, "final.png"), final)
@@ -340,6 +390,14 @@ def _add_common(p):
     p.add_argument("--obj-scale", type=float, default=1.0)
     p.add_argument("--progress", action="store_true",
                    help="print percent progress (Game1.cs:331-344 overlay)")
+    p.add_argument("--devices", default="1",
+                   help="device parallelism: a count, or 'all' — shards "
+                        "rays over a 1-D device mesh (dist/render.py; the "
+                        "scanline-pool analog, RayTracer.cs:48-120)")
+    p.add_argument("--ring", action="store_true",
+                   help="with --devices > 1: ring-shard the geometry and "
+                        "shade tables across devices for scenes larger "
+                        "than one device's HBM (dist/bigscene.py)")
     p.add_argument("--render-mode", default="shaded",
                    choices=("shaded", "normals", "convex"),
                    help="diagnostic channels (RayTracer.cs:563-566 "
