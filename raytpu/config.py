@@ -136,6 +136,15 @@ class RenderConfig:
     # walk.
     cull_prepick: int = 0
     cull_nbuf: int = 4
+    # Dual-branch transparent scenes (a material both reflective AND
+    # transparent) double the wavefront per level; with compaction the
+    # children are stably permuted live-first between levels so dead slots
+    # pack into all-dead intersector tiles (which exit at the cull
+    # prologue) instead of riding along in mixed tiles.  Pure permutation:
+    # per-ray results are identical.  Scenes with no dual-branch material
+    # never double at all (single live child per parent — see
+    # FlatScene.has_dual_branch) and ignore this flag.
+    compact_wavefront: bool = True
     # Cast occlusion (shadow) rays FROM the light toward the fragment for
     # positionable lights in opaque scenes: all rays of the query then
     # share ONE origin, so ray-tile beams are thin cones and the cull

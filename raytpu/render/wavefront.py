@@ -469,20 +469,56 @@ def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
         alive=jnp.ones((r0,), bool) if alive is None else alive,
     )
 
+    # Slot layout per level:
+    #  - opaque scenes: R0 (reflection chain only);
+    #  - transparent, NO dual-branch material: R0 — a parent spawns at most
+    #    ONE live child (reflection needs reflectiveness > 0, refraction
+    #    needs transparency; no material has both), so children merge into
+    #    the parent's slot with a per-parent select and the combine
+    #    coefficient folds b/c into one (exact; the 2^depth expansion the
+    #    reference's recursion implies simply never materializes);
+    #  - dual-branch: [reflection | refraction] doubling, optionally
+    #    live-first compacted between levels (cfg.compact_wavefront).
+    dual = scene.has_transparent and scene.has_dual_branch
+    merged = scene.has_transparent and not scene.has_dual_branch
     records = []
+    orders = [None] * (cfg.max_reflections + 1)
     for level in range(cfg.max_reflections + 1):
         is_max = level == cfg.max_reflections
         record, children = _trace_level(scene, cfg, rays, is_max,
                                         query=query, gather=gather)
-        records.append(record)
         if not is_max:
             refl_rays, refr_rays = children
-            if scene.has_transparent:
+            if dual:
                 rays = jax.tree.map(
                     lambda x, y: jnp.concatenate([x, y]), refl_rays, refr_rays
                 )
+                if cfg.compact_wavefront:
+                    from raytpu.kernels.fused import _compact_order
+
+                    order = _compact_order(~rays.alive)
+                    take = lambda a: jnp.take(a, order, axis=0)
+                    rays = jax.tree.map(take, rays)
+                    orders[level + 1] = order
+            elif merged:
+                # One live child per parent: select it into the parent's
+                # slot and fold the two combine coefficients into b.
+                sel = refl_rays.alive
+
+                def pick(fa, fb):
+                    s = sel.reshape(sel.shape + (1,) * (fa.ndim - 1))
+                    return jnp.where(s, fa, fb)
+
+                rays = jax.tree.map(pick, refl_rays, refr_rays)
+                record = record._replace(
+                    b=jnp.where(sel[:, None], record.b,
+                                jnp.broadcast_to(record.c[:, None],
+                                                 record.b.shape)),
+                    c=jnp.zeros_like(record.c),
+                )
             else:
                 rays = refl_rays
+        records.append(record)
 
     # Backward combine (child colors → parent), deepest level first.
     color = None
@@ -492,9 +528,14 @@ def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
         if color is None:
             node = rec.a
         else:
+            if orders[level + 1] is not None:
+                # The child level ran live-first compacted; un-permute its
+                # colors back to [reflection | refraction] slot order.
+                color = jnp.zeros_like(color).at[orders[level + 1]].set(
+                    color)
             child_r = color[:rl]
             node = rec.a + rec.b * child_r
-            if scene.has_transparent:
+            if dual:
                 child_t = color[rl:]
                 node = node + rec.c[..., None] * child_t
         node = jnp.where(rec.mask[..., None], node, 0.0)

@@ -206,6 +206,13 @@ class FlatScene(flax.struct.PyTreeNode):
     light_kinds: tuple = flax.struct.field(pytree_node=False, default=())
     has_transparent: bool = flax.struct.field(pytree_node=False, default=False)
     has_textures: bool = flax.struct.field(pytree_node=False, default=False)
+    # Some material is BOTH transparent and reflective: a hit can spawn two
+    # live children (reflection + refraction), so wavefront levels must
+    # double.  When False (plain glass / plain mirrors), each parent has at
+    # most one live child and levels stay at R0 slots
+    # (render/wavefront.py::trace_colors child merge).
+    has_dual_branch: bool = flax.struct.field(pytree_node=False,
+                                              default=False)
 
     # Convenience ------------------------------------------------------------
     def tri_material(self):

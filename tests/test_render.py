@@ -76,3 +76,71 @@ class TestRenderImage:
         img = _img(sc, small_cfg())
         one = _img(sphere_and_plane_scene(light="spot"), small_cfg())
         assert img.mean() > one.mean()  # extra light adds energy
+
+
+class TestWavefrontCompaction:
+    """Transparent wavefront slot management (render/wavefront.py):
+    no-dual scenes keep R0 slots per level (single-child merge), dual
+    scenes optionally compact live-first between levels — both exact."""
+
+    def _render(self, flat, cfg, cam, spy_sizes=None, monkeypatch=None):
+        import raytpu.render.wavefront as wf
+        from raytpu.render import render_image
+
+        if spy_sizes is not None:
+            orig = wf._trace_level
+
+            def spy(scene, cfg_, rays, is_max, **kw):
+                spy_sizes.append(int(rays.origin.shape[0]))
+                return orig(scene, cfg_, rays, is_max, **kw)
+
+            monkeypatch.setattr(wf, "_trace_level", spy)
+        try:
+            return np.asarray(render_image(flat, cfg, cam))
+        finally:
+            if spy_sizes is not None:
+                monkeypatch.setattr(wf, "_trace_level", orig)
+
+    def test_nodual_levels_stay_r0_and_match_forced_dual(self, monkeypatch):
+        from raytpu.config import Intersector, Quantize, RenderConfig
+        from raytpu.core.camera import Camera
+
+        # Plain glass: transparent, reflectiveness 0 -> no dual branching.
+        flat = sphere_and_plane_scene(reflect=0.0, transparent=True).flatten(
+            build_octree=False, cluster_size=16)
+        assert flat.has_transparent and not flat.has_dual_branch
+        cfg = RenderConfig(width=24, height=24, max_reflections=8,
+                           intersector=Intersector.TILED,
+                           quantize=Quantize.NONE, tile_pixels=576)
+        cam = Camera(position=(0.0, 16.0, 32.0), aspect=1.0)
+
+        sizes = []
+        img_merged = self._render(flat, cfg, cam, sizes, monkeypatch)
+        r0 = 576
+        assert sizes and all(s == r0 for s in sizes), sizes
+        assert len(sizes) == 9
+
+        # Forcing the dual (doubling) path must give identical pixels.
+        sizes2 = []
+        img_dual = self._render(flat.replace(has_dual_branch=True), cfg,
+                                cam, sizes2, monkeypatch)
+        assert sizes2[-1] == r0 * 2 ** 8
+        np.testing.assert_allclose(img_merged, img_dual, atol=1e-6)
+
+    def test_dual_compaction_parity(self, monkeypatch):
+        import dataclasses
+
+        from raytpu.config import Intersector, Quantize, RenderConfig
+        from raytpu.core.camera import Camera
+
+        flat = sphere_and_plane_scene(reflect=0.3, transparent=True).flatten(
+            build_octree=False, cluster_size=16)
+        assert flat.has_dual_branch
+        cfg = RenderConfig(width=24, height=24, max_reflections=4,
+                           intersector=Intersector.TILED,
+                           quantize=Quantize.NONE, tile_pixels=576)
+        cam = Camera(position=(0.0, 16.0, 32.0), aspect=1.0)
+        img_c = self._render(flat, cfg, cam)
+        img_u = self._render(
+            flat, dataclasses.replace(cfg, compact_wavefront=False), cam)
+        np.testing.assert_allclose(img_c, img_u, atol=1e-6)
