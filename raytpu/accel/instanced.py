@@ -111,11 +111,32 @@ def _prune_mask(origin, direction, mn, mx, cap):
     return (t_en <= t_ex) & (t_ex >= 0.0) & (t_en < cap)
 
 
+def order_front_to_back(instances: List[Instance], mesh_bakes: List,
+                        eye) -> List[int]:
+    """Instance indices ordered by world-AABB distance from ``eye``.
+
+    Host-side (static) — the instance-hierarchy role of the reference's
+    sorted scene-octree walk (OctreeSpatialManager.cs:457-482): passing
+    near instances first tightens every ray's running best early, so the
+    per-instance world-AABB prune (and the lax.cond pass skip) eliminates
+    far instances instead of testing them."""
+    eye = np.asarray(eye, np.float32)
+    d = []
+    for inst in instances:
+        mn, mx = instance_world_aabb(mesh_bakes[inst.mesh_index],
+                                     inst.world)
+        mn, mx = np.asarray(mn), np.asarray(mx)
+        nearest = np.clip(eye, mn, mx)
+        d.append(float(np.linalg.norm(nearest - eye)))
+    return list(np.argsort(d, kind="stable"))
+
+
 def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
                           origin, direction, t_max=None,
                           ignore_tri=None, ignore_instance=None,
                           intersector: Intersector = Intersector.AUTO,
                           prune: bool = True, return_stats: bool = False,
+                          skip_empty: bool = True, order=None,
                           **kw) -> InstancedHit:
     """Nearest hit of ``origin``/``direction`` (R, 3, world space) over all
     instances, merged by world distance.
@@ -136,6 +157,15 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
     OctreeSpatialManager.cs:457-482 analog) — exact, on by default.
     ``return_stats``: also return a (num_instances,) array of live-ray
     counts per instance pass (pruning observability; used by tests).
+
+    ``skip_empty``: wrap each instance's intersector pass in ``lax.cond``
+    so a pass with ZERO live rays is skipped at runtime outright (no walk,
+    no prologue) — with ``order`` (a static instance ordering, e.g.
+    ``order_front_to_back(instances, bakes, camera_pos)``) the running
+    best tightens on the near instances first and far passes prune to
+    empty, so runtime tracks the instances a ray batch can actually see
+    instead of the instance count.  Compile time stays O(instances) (the
+    loop is still unrolled; each pass is traced once).
     """
     origin = jnp.asarray(origin, jnp.float32)
     direction = jnp.asarray(direction, jnp.float32)
@@ -150,8 +180,9 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
         instance=jnp.full((r,), -1, jnp.int32),
     )
 
-    stats = []
-    for idx, inst in enumerate(instances):
+    stats = [None] * len(instances)
+    for idx in (order if order is not None else range(len(instances))):
+        inst = instances[idx]
         bake = mesh_bakes[inst.mesh_index]
         inv = jnp.asarray(inst.inv_world)
         w = jnp.asarray(inst.world)
@@ -164,6 +195,7 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
         norm = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
         d_obj = d_obj / jnp.where(norm == 0, 1.0, norm)
 
+        live = None
         if prune:
             # Scene-level pruning: rays that provably cannot beat their
             # running best inside this instance's world AABB enter the
@@ -176,9 +208,9 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
             live = _prune_mask(origin, direction, mn_w, mx_w, cap)
             d_obj = jnp.where(live[:, None], d_obj, jnp.float32(jnp.nan))
             if return_stats:
-                stats.append(jnp.sum(live))
+                stats[idx] = jnp.sum(live)
         elif return_stats:
-            stats.append(jnp.asarray(r, jnp.int32))
+            stats[idx] = jnp.asarray(r, jnp.int32)
 
         # World t -> object t along the normalized object direction: a world
         # step of 1 maps to |inv_world . d| object units (= norm).
@@ -190,29 +222,41 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
             this = jnp.asarray(ignore_instance) == idx
             itri = jnp.where(this, jnp.asarray(ignore_tri, jnp.int32), -1)
 
-        h: Hit = nearest_hit(bake, o_obj, d_obj, t_max=t_max_obj,
-                             ignore_tri=itri, intersector=intersector,
-                             **kw)
+        def run_pass(best_in, idx=idx, bake=bake, o_obj=o_obj, d_obj=d_obj,
+                     t_max_obj=t_max_obj, itri=itri, w=w):
+            h: Hit = nearest_hit(bake, o_obj, d_obj, t_max=t_max_obj,
+                                 ignore_tri=itri, intersector=intersector,
+                                 **kw)
 
-        # World-space hit point and distance (OctreeSpatialManager.cs:
-        # 438-452): object hit = v1 + e1*u + e2*v, transformed by World.
-        safe = jnp.maximum(h.tri, 0)
-        frag_obj = (bake.tri_v1[safe]
-                    + bake.tri_e1[safe] * h.u[..., None]
-                    + bake.tri_e2[safe] * h.v[..., None])
-        frag_w = _transform_points(frag_obj, w)
-        t_world = jnp.linalg.norm(frag_w - origin, axis=-1)
-        t_world = jnp.where(h.hit, t_world, INF)
+            # World-space hit point and distance (OctreeSpatialManager.cs:
+            # 438-452): object hit = v1 + e1*u + e2*v, transformed by World.
+            safe = jnp.maximum(h.tri, 0)
+            frag_obj = (bake.tri_v1[safe]
+                        + bake.tri_e1[safe] * h.u[..., None]
+                        + bake.tri_e2[safe] * h.v[..., None])
+            frag_w = _transform_points(frag_obj, w)
+            t_world = jnp.linalg.norm(frag_w - origin, axis=-1)
+            t_world = jnp.where(h.hit, t_world, INF)
 
-        upd = t_world < best.t_world
-        best = InstancedHit(
-            hit=best.hit | (upd & h.hit),
-            t_world=jnp.where(upd, t_world, best.t_world),
-            u=jnp.where(upd, h.u, best.u),
-            v=jnp.where(upd, h.v, best.v),
-            tri=jnp.where(upd, h.tri, best.tri),
-            instance=jnp.where(upd, jnp.int32(idx), best.instance),
-        )
+            upd = t_world < best_in.t_world
+            return InstancedHit(
+                hit=best_in.hit | (upd & h.hit),
+                t_world=jnp.where(upd, t_world, best_in.t_world),
+                u=jnp.where(upd, h.u, best_in.u),
+                v=jnp.where(upd, h.v, best_in.v),
+                tri=jnp.where(upd, h.tri, best_in.tri),
+                instance=jnp.where(upd, jnp.int32(idx), best_in.instance),
+            )
+
+        if skip_empty and live is not None:
+            # An all-pruned pass is skipped at RUNTIME: lax.cond executes
+            # only the taken branch, so rays aimed elsewhere pay one slab
+            # test + one any-reduce for this instance, not a walk.
+            import jax
+
+            best = jax.lax.cond(jnp.any(live), run_pass, lambda b: b, best)
+        else:
+            best = run_pass(best)
     if return_stats:
         return best, jnp.stack(stats)
     return best

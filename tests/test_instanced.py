@@ -109,15 +109,22 @@ class TestSceneLevelPruning:
     """World-AABB ray pruning (OctreeSpatialManager.cs:457-482 analog)."""
 
     def test_prune_parity(self, setup):
-        """Pruned and unpruned passes return identical results."""
+        """Pruned and unpruned passes return the same hits.
+
+        Discrete fields match exactly; t_world only to fp tolerance — the
+        lax.cond pass skip (skip_empty) changes XLA fusion inside the
+        pass, which can shift FMA contraction by an ulp."""
         bakes, instances, _ = setup
         o, d = _rays()
         h1 = nearest_hit_instanced(bakes, instances, o, d, prune=True,
                                    intersector=Intersector.BRUTE)
         h0 = nearest_hit_instanced(bakes, instances, o, d, prune=False,
                                    intersector=Intersector.BRUTE)
-        for a, b in zip(h1, h0):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for f in ("hit", "u", "v", "tri", "instance"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(h1, f)), np.asarray(getattr(h0, f)))
+        np.testing.assert_allclose(np.asarray(h1.t_world),
+                                   np.asarray(h0.t_world), rtol=1e-6)
 
     def test_rays_at_one_instance_skip_the_others(self, setup):
         """Rays converging on instance 0's sphere enter the other two
@@ -157,3 +164,78 @@ class TestSceneLevelPruning:
                                    intersector=Intersector.BRUTE)
         for a, b in zip(h1, h0):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestInstanceHierarchy:
+    """64-instance scaling (accel/instanced.py skip_empty + ordering): the
+    world-AABB hierarchy prunes passes to the instances a ray batch can
+    actually reach — pruned passes are skipped at runtime — with exact
+    parity vs the baked world-space scene."""
+
+    @pytest.fixture(scope="class")
+    def grid64(self):
+        sphere = uv_sphere(radius=0.45, stacks=6, slices=10,
+                           material=Material())
+        bake = _bake_single(sphere)
+        placements = []
+        for gz in range(8):
+            for gx in range(8):
+                placements.append((float(gx * 4 - 14), 0.5,
+                                   float(gz * 4 - 14)))
+        instances = [
+            make_instance(0, _world((1.0, 1.0, 1.0), (0.0, 0.0, 0.0), p))
+            for p in placements
+        ]
+        baked = Scene(objects=[
+            SceneObject(meshes=[uv_sphere(radius=0.45, stacks=6, slices=10,
+                                          material=Material())],
+                        position=p)
+            for p in placements
+        ]).flatten(build_octree=False, cluster_size=16)
+        return [bake], instances, placements, baked
+
+    def test_64_instances_prune_and_match_baked(self, grid64):
+        from raytpu.accel.instanced import order_front_to_back
+
+        bakes, instances, placements, baked = grid64
+        # Camera-style rays from one corner aimed at the nearest spheres:
+        # most of the 8x8 grid is never reachable closer than the running
+        # best once the near instances have resolved.
+        eye = np.array([-16.0, 1.0, -16.0], np.float32)
+        targets = np.array(placements[:12], np.float32)
+        rng = np.random.default_rng(5)
+        pts = targets[rng.integers(0, 12, size=96)]
+        pts += rng.normal(0, 0.3, pts.shape).astype(np.float32)
+        o = jnp.asarray(np.tile(eye, (96, 1)))
+        d = pts - np.asarray(o)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+        order = order_front_to_back(instances, bakes, eye)
+        h, stats = nearest_hit_instanced(
+            bakes, instances, o, d, intersector=Intersector.BRUTE,
+            return_stats=True, order=order)
+        hb = nearest_hit_brute(baked, o, d, block=256)
+        np.testing.assert_array_equal(np.asarray(h.hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(h.t_world)[m],
+                                   np.asarray(hb.t)[m], rtol=1e-4,
+                                   atol=1e-4)
+        # The hierarchy prunes: far passes see zero live rays (skipped at
+        # runtime by lax.cond) — live passes must be a small fraction of I.
+        live_passes = int((np.asarray(stats) > 0).sum())
+        assert live_passes <= 16, (live_passes, np.asarray(stats))
+
+    def test_order_is_pure_permutation(self, grid64):
+        bakes, instances, placements, baked = grid64
+        o, d = _rays(64, seed=9)
+        h1 = nearest_hit_instanced(bakes, instances, o, d,
+                                   intersector=Intersector.BRUTE)
+        order = list(reversed(range(len(instances))))
+        h2 = nearest_hit_instanced(bakes, instances, o, d,
+                                   intersector=Intersector.BRUTE,
+                                   order=order)
+        np.testing.assert_array_equal(np.asarray(h1.hit),
+                                      np.asarray(h2.hit))
+        m = np.asarray(h1.hit)
+        np.testing.assert_allclose(np.asarray(h1.t_world)[m],
+                                   np.asarray(h2.t_world)[m], rtol=1e-5)
