@@ -71,7 +71,8 @@ class ClusterTable:
         return self.cluster_min.shape[0]
 
     def as_device_arrays(self, tri_v1, tri_e1, tri_e2, tri_snormal, tri_mesh,
-                         build_gblock: bool = False):
+                         build_gblock: bool = False,
+                         build_tblock: bool = True):
         """Device dict: cluster AABBs + triangle geometry permuted into Morton
         order (slot -> original id in ``tri_id``; padding slots are degenerate
         triangles with ``tri_id == -1`` that can never be hit).
@@ -195,6 +196,20 @@ class ClusterTable:
         root[0, 3:6] = root_max
         root[0, 6] = margin
 
+        # Geometry for the tlane kernel (kernels/fused.py _tlane_kernel):
+        # the same 24 semantic channels as ``block``, zero-padded to 32
+        # rows so the kernel can transpose each fetched cluster to (C, 32)
+        # in one hardware-transpose op (Mosaic requires DMA slices 128-
+        # lane-aligned, so the transposed form cannot be STORED directly;
+        # 32 rows keep the transpose input sublane-aligned).  The pair
+        # matrix then runs (C, TS): per-ray reductions cross sublanes
+        # (cheap log-trees of full vector ops) and per-ray state stays
+        # lane-major.
+        tblock = None
+        if build_tblock:
+            tblock = np.concatenate(
+                [block, np.zeros((nc, 8, c), np.float32)], axis=1)
+
         # NOTE: the fused kernel's uvt mode returns the winner's triangle
         # id as an exact f32 VALUE, which requires ids < 2^24 — enforced at
         # QUERY time (kernels/fused.py), not here: other backends (tiled,
@@ -218,6 +233,8 @@ class ClusterTable:
         }
         if gblock is not None:
             out["gblock"] = jnp.asarray(gblock)
+        if tblock is not None:
+            out["tblock"] = jnp.asarray(tblock)
         return out
 
 

@@ -834,20 +834,259 @@ def _prepick_kernel(
     out_iters[0, 0, 0] = s_end
 
 
+def _tlane_kernel(
+    root_ref,  # (1, 8) SMEM
+    rays,      # (ROWS, TS) VMEM packed rays (lane-major rows)
+    aabb,      # (6, 8, NC8) VMEM cluster AABBs
+    block_hbm,  # (NC, 32, C) ANY padded cluster geometry (tblock)
+    out_t, out_code, out_uvt, out_res, out_iters,
+    ent,       # (8, NC8) VMEM scratch
+    bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref, bi_ref,  # (1, TS)
+    qk, qv,    # (NGRP*K,) SMEM DMA queue
+    buf,       # (NGRP*K, 32, C) VMEM
+    sem,       # DMA semaphores
+    *,
+    cull,
+    any_hit: bool,
+    nc: int,
+    k_chunk: int,
+    ngrp: int = NGRP,
+    has_ignore: bool = True,
+    max_trips: int = 0,
+    uvt: bool = False,
+):
+    """Transposed-layout walk: pair matrix (C, TS), rays in LANES.
+
+    Same walk as ``_fused_kernel`` (identical pick order, strict-min
+    update, settle proof, tie-break by slot code), but the Möller–Trumbore
+    pass runs on a (C, TS) grid — triangle t in sublane t, ray r in lane r.
+    Each fetched (32, C) geometry block is flipped to (C, 32) with ONE
+    hardware transpose per trip (DMA slices must stay 128-lane-aligned, so
+    the transposed form cannot be stored in HBM).  What the layout buys on
+    a VPU:
+
+    - every per-ray reduction (min dist, winner code, the uvt one-hot
+      sums) runs ACROSS SUBLANES: a log-tree of full-width vector ops
+      (~36 vreg-ops for (128, 256) -> (1, 256)) instead of in-lane
+      shuffle reductions (~224) — the reduces were ~40% of a nearest-hit
+      trip;
+    - ALL per-ray state lives in lane-major (1, TS) vregs (2 per op)
+      instead of (TS, 1) column layout (32 per op at 1/128 lane
+      utilization), which removes the per-ray prologue/init/epilogue
+      waste measured at ~15 ms per 1M-ray query (tools/r4lab3-5);
+    - outputs write straight from the (1, TS) state — no relayouts.
+
+    Classic-walk-only knobs (mxu, pretest, recull) are not carried; the
+    exact results are bitwise the classic kernel's (same arithmetic, same
+    order — only the layout differs).
+    """
+    ts = rays.shape[1]
+    c = buf.shape[2]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    nc8 = aabb.shape[2]
+
+    from raytpu.core.intersect import (det_space_accept,
+                                       det_space_accept_within)
+
+    row = lambda r: rays[r:r + 1, :]  # (1, TS)
+    oxr, oyr, ozr = row(0), row(1), row(2)
+    dxr, dyr, dzr = row(3), row(4), row(5)
+    tmax_in = row(6)
+    itri = jax.lax.bitcast_convert_type(row(7), i32)
+    imesh = jax.lax.bitcast_convert_type(row(8), i32)
+
+    finite = (
+        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
+        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
+    )
+
+    # Per-ray root-AABB t cap (identical math to _fused_kernel).
+    margin = root_ref[0, 6]
+    t_en = jnp.full((1, ts), -INF, f32)
+    t_ex = jnp.full((1, ts), INF, f32)
+    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
+        safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
+        t1 = (root_ref[0, k] - margin - okr) / safe_d
+        t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
+        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
+        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
+    root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
+    cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
+    cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
+    tmax0 = jnp.minimum(tmax_in, cap)  # (1, TS) — stays lane-major
+    tile_tmax = jnp.max(tmax0)
+
+    row_io = jax.lax.broadcasted_iota(i32, (8, nc8), 0)
+    col_io = jax.lax.broadcasted_iota(i32, (8, nc8), 1)
+    flat_io = row_io * nc8 + col_io
+    valid_col = flat_io < nc
+
+    ent[:, :] = _entry_grid(
+        aabb, valid_col,
+        _tile_bounds_lm(finite, (oxr, oyr, ozr), (dxr, dyr, dzr)),
+        tile_tmax)
+
+    NG = ngrp
+    kc = min(k_chunk, nc)
+
+    def pick():
+        e = ent[:, :]
+        v = jnp.min(e)
+        k = jnp.min(jnp.where(e == v, flat_io, i32(nc)))
+        ent[:, :] = jnp.where(flat_io == k, INF, e)
+        return v, k
+
+    def start_dma(slot, k):
+        pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
+                              sem.at[slot]).start()
+
+    def wait_dma(slot, k):
+        pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
+                              sem.at[slot]).wait()
+
+    def pick_group(grp):
+        for j in range(kc):
+            v_j, k_j = pick()
+            k_safe = jnp.minimum(k_j, i32(nc - 1))
+            qk[grp * kc + j] = k_safe
+            qv[grp * kc + j] = v_j
+            start_dma(grp * kc + j, k_safe)
+
+    for g in range(NG):
+        pick_group(g)
+
+    # Per-ray w = d x o, lane-major (2-vreg ops).
+    wx = dyr * ozr - dzr * oyr
+    wy = dzr * oxr - dxr * ozr
+    wz = dxr * oyr - dyr * oxr
+
+    sub_row = jax.lax.broadcasted_iota(i32, (c, 1), 0)
+
+    bt_ref[:, :] = tmax0
+    bc_ref[:, :] = jnp.full((1, ts), -1, i32)
+    if uvt:
+        bu_ref[:, :] = jnp.zeros((1, ts), f32)
+        bv_ref[:, :] = jnp.zeros((1, ts), f32)
+        bd_ref[:, :] = jnp.ones((1, ts), f32)
+        bi_ref[:, :] = jnp.full((1, ts), -1.0, f32)
+    rs_ref[:, :] = (~finite | ~(tmax0 > 0.0)).astype(f32)
+
+    def body(state):
+        i, cur_v = state
+        grp = jax.lax.rem(i, NG)
+        for j in range(kc):
+            wait_dma(grp * kc + j, qk[grp * kc + j])
+        for j in range(kc):
+            # One hardware transpose flips the fetched (32, C) block to
+            # (C, 32): triangles land on sublanes, channels on lanes.
+            g = jnp.transpose(buf[grp * kc + j])  # (C, 32)
+            k_i = qk[grp * kc + j]
+            col = lambda q: g[:, q:q + 1]  # (C, 1)
+            nx, ny, nz = col(0), col(1), col(2)
+            det = dxr * nx + dyr * ny + dzr * nz  # (C, TS)
+            udet = (wx * col(6) + wy * col(7) + wz * col(8)
+                    + dxr * col(3) + dyr * col(4) + dzr * col(5))
+            vdet = (wx * col(12) + wy * col(13) + wz * col(14)
+                    + dxr * col(9) + dyr * col(10) + dzr * col(11))
+            tdet = col(15) - (oxr * nx + oyr * ny + ozr * nz)
+
+            if any_hit:
+                okw = det_space_accept_within(det, udet, vdet, tdet,
+                                              tmax0, cull)
+                if has_ignore:
+                    tid = jax.lax.bitcast_convert_type(col(16), i32)
+                    tmesh = jax.lax.bitcast_convert_type(col(17), i32)
+                    okw &= (tid != itri) & (tmesh != imesh)
+                fnd = jnp.any(okw, axis=0, keepdims=True)  # (1, TS)
+                bc_ref[:, :] = jnp.where(fnd, 0, bc_ref[:, :])
+            else:
+                ok = det_space_accept(det, udet, vdet, tdet, cull)
+                if has_ignore:
+                    tid = jax.lax.bitcast_convert_type(col(16), i32)
+                    tmesh = jax.lax.bitcast_convert_type(col(17), i32)
+                    ok &= (tid != itri) & (tmesh != imesh)
+                dist = jnp.where(ok, tdet / det, INF)
+                code = k_i * c + sub_row  # (C, 1)
+                mint = jnp.min(dist, axis=0, keepdims=True)  # (1, TS)
+                win = dist == mint
+                pc = jnp.min(jnp.where(win, code, i32(2 ** 30)),
+                             axis=0, keepdims=True)
+                bt = bt_ref[:, :]
+                upd = mint < bt
+                bt_ref[:, :] = jnp.where(upd, mint, bt)
+                bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
+                if uvt:
+                    one = (code == pc).astype(f32)  # (C, TS) one-hot
+                    tid_f = jax.lax.bitcast_convert_type(
+                        col(16), i32).astype(f32)
+                    sums = lambda q: jnp.sum(one * q, axis=0,
+                                             keepdims=True)
+                    bu_ref[:, :] = jnp.where(upd, sums(udet), bu_ref[:, :])
+                    bv_ref[:, :] = jnp.where(upd, sums(vdet), bv_ref[:, :])
+                    bd_ref[:, :] = jnp.where(upd, sums(det), bd_ref[:, :])
+                    bi_ref[:, :] = jnp.where(upd, sums(tid_f),
+                                             bi_ref[:, :])
+
+        nxt = jax.lax.rem(i + 1, NG)
+        v_next = qv[nxt * kc]
+        if any_hit:
+            res_new = (bc_ref[:, :] >= 0) | (tmax0 <= v_next)
+        else:
+            res_new = bt_ref[:, :] <= v_next
+        resolved = (rs_ref[:, :] > 0.0) | res_new
+        rs_ref[:, :] = resolved.astype(f32)
+
+        pick_group(grp)
+
+        settled = jnp.all(resolved)
+        cur_next = jnp.where(settled, INF, v_next)
+        return i + 1, cur_next
+
+    def cond(state):
+        live = state[1] < INF
+        if max_trips:
+            live &= state[0] < max_trips
+        return live
+
+    iters, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), qv[0]))
+
+    for slot in range(NG * kc):
+        wait_dma(slot, qk[slot])
+
+    best_t = bt_ref[:, :]
+    best_code = bc_ref[:, :]
+    if any_hit:
+        out_t[0, 0, :] = jnp.where(best_code >= 0, f32(0.0), best_t)[0, :]
+    else:
+        out_t[0, 0, :] = best_t[0, :]
+    out_code[0, 0, :] = best_code[0, :]
+    if uvt:
+        hitm = best_code >= 0
+        safe_det = jnp.where(hitm, bd_ref[:, :], f32(1.0))
+        out_uvt[0, 0, :] = (bu_ref[:, :] / safe_det)[0, :]
+        out_uvt[0, 1, :] = (bv_ref[:, :] / safe_det)[0, :]
+        out_uvt[0, 2, :] = bi_ref[:, :][0, :]
+        out_uvt[0, 3, :] = jnp.zeros((1, ts), f32)[0, :]
+    out_res[0, 0, :] = (rs_ref[:, :] > 0.0).astype(i32)[0, :]
+    out_iters[0, 0, 0] = iters
+
+
 @functools.partial(
     jax.jit, static_argnames=("ts", "cull", "any_hit", "chunk_k", "ngrp",
                               "has_ignore", "mxu", "mxu_precision",
                               "recull_every", "pretest", "max_trips",
-                              "uvt", "prepick", "nbuf", "interpret")
+                              "uvt", "prepick", "nbuf", "layout",
+                              "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
-                cull: bool = True,
+                cull=True,
                 any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
                 has_ignore: bool = True, mxu: bool = False,
                 mxu_precision: str = "highest",
                 recull_every: int = 0, pretest: bool = False,
                 max_trips: int = 0, uvt: bool = False,
-                prepick: int = 0, nbuf: int = 4,
+                prepick: int = 0, nbuf: int = 4, layout: str = "row",
                 interpret: bool = False):
     """Run the fused kernel over (ROWS, NT*TS) packed rays, ``ts`` per tile.
 
@@ -881,7 +1120,32 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
     chunk_k = min(chunk_k, nc)
     f32, i32 = jnp.float32, jnp.int32
 
-    if prepick:
+    if layout == "t":
+        # Transposed (C, TS) pair layout (``block`` must be the tblock
+        # bake).  Classic-walk-only knobs have no tlane equivalent.
+        if mxu or pretest or recull_every or prepick:
+            raise ValueError(
+                "layout='t' is incompatible with mxu/pretest/recull_every/"
+                "prepick")
+        kernel = functools.partial(
+            _tlane_kernel, cull=cull, any_hit=any_hit, nc=nc,
+            k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
+            max_trips=max_trips, uvt=uvt)
+        scratch = [
+            pltpu.VMEM((8, nc8), f32),   # ent
+            pltpu.VMEM((1, ts), f32),    # bt
+            pltpu.VMEM((1, ts), i32),    # bc
+            pltpu.VMEM((1, ts), f32),    # rs
+            pltpu.VMEM((1, ts), f32),    # bu
+            pltpu.VMEM((1, ts), f32),    # bv
+            pltpu.VMEM((1, ts), f32),    # bd
+            pltpu.VMEM((1, ts), f32),    # bi
+            pltpu.SMEM((ngrp * chunk_k,), i32),
+            pltpu.SMEM((ngrp * chunk_k,), f32),
+            pltpu.VMEM((ngrp * chunk_k, 32, csize), f32),
+            pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
+        ]
+    elif prepick:
         if mxu or pretest or recull_every or max_trips or chunk_k > 1:
             raise ValueError(
                 "prepick is incompatible with mxu/pretest/recull_every/"
@@ -1035,7 +1299,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       any_hit: bool = False, chunk_k: int = 1,
                       ngrp: int = NGRP, mxu=None, recull_every: int = 0,
                       pretest: bool = False, phase1_trips: int = 0,
-                      prepick: int = 0, nbuf: int = 4,
+                      prepick: int = 0, nbuf: int = 4, layout=None,
                       return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
@@ -1080,6 +1344,16 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         raise ValueError(
             "mxu=True requires the gblock bake: flatten the scene with "
             "build_gblock=True")
+    if layout is None:
+        # Measured split (tools/r4lab7, v5e): the transposed pair layout
+        # wins ~8% on nearest-hit queries (the uvt one-hot sums and winner
+        # reduces become cross-sublane log-trees) but loses ~7% on any_hit
+        # occlusion queries (no uvt to save; the per-trip hardware
+        # transpose is pure overhead there) — so: tlane for nearest, row
+        # for occlusion.  The row layout also remains for the classic-walk
+        # knobs and for bakes without tblock.
+        layout = ("t" if "tblock" in cl and not any_hit and not (
+            mxu or pretest or recull_every or prepick) else "row")
     csize = cl["block"].shape[2]
     if not any_hit and cl["block"].shape[0] * csize >= (1 << 24):
         # uvt mode rides the winner's triangle id through f32 one-hot sums,
@@ -1132,12 +1406,14 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     uvt = not any_hit
     kw = dict(ts=ts, cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
               has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
-              pretest=pretest, uvt=uvt, interpret=interpret)
+              pretest=pretest, uvt=uvt, layout=layout, interpret=interpret)
     if prepick > 0 and phase1_trips > 0:
         raise ValueError("prepick and phase1_trips are mutually exclusive "
                          "overflow strategies")
+    geo = cl["gblock"] if mxu else (
+        cl["tblock"] if layout == "t" else cl["block"])
     best_t, code, uvt_out, _res, _iters = fused_tiles(
-        packed, cl["aabb"], cl["root"], cl["gblock" if mxu else "block"],
+        packed, cl["aabb"], cl["root"], geo,
         max_trips=phase1_trips, prepick=prepick, nbuf=nbuf, **kw,
     )
     if prepick > 0:
@@ -1187,8 +1463,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         packed2 = _pack_rays(take(o), d2, take(itri), take(imesh),
                              take(bt1), nt, ts)
         bt2, code2, uvt2, _res2, iters2 = fused_tiles(
-            packed2, cl["aabb"], cl["root"],
-            cl["gblock" if mxu else "block"], max_trips=0, **kw,
+            packed2, cl["aabb"], cl["root"], geo, max_trips=0, **kw,
         )
         bt2 = bt2.reshape(rp)
         code2 = code2.reshape(rp)
