@@ -168,8 +168,12 @@ def bench_backward(flat, cfg, sync):
 
     res_b = int(os.environ.get("BENCH_BACK_RES", 512))
     reps = int(os.environ.get("BENCH_REPS", 4))
+    # tile_pixels must follow the backward resolution: inheriting the
+    # forward frame's (res^2) pads the ray set 4x with phantom rays that
+    # get traced AND differentiated (measured 3x backward inflation).
     cfg_b = dataclasses.replace(cfg, width=res_b, height=res_b,
-                                quantize=Quantize.NONE)
+                                quantize=Quantize.NONE,
+                                tile_pixels=res_b * res_b)
     camera = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),
                     aspect=1.0)
     o, d = camera_rays(camera, res_b, res_b)
