@@ -332,3 +332,42 @@ def test_interactive_object_spin_rebakes():
 
     no_host = InteractiveSession(flat, cfg, preview_res=16)
     assert no_host.handle_key("j") == "noop"
+
+
+class TestCliDistribution:
+    """--devices / --ring product surface (cli/main.py::_render_frame):
+    parallel rendering is the default execution mode of the reference's
+    engine (the scanline pool, RayTracer.cs:48-120) — here it must be
+    reachable from the CLI, not just the library."""
+
+    def test_render_devices_all(self, tmp_path):
+        import numpy as np
+
+        from raytpu.cli.main import main
+        from raytpu.io.image import read_image
+
+        out = str(tmp_path / "d.png")
+        single = str(tmp_path / "s.png")
+        args = ["render", "--scene", "spheres", "--width", "24",
+                "--height", "24", "--max-reflections", "1",
+                "--intersector", "brute"]
+        assert main(args + ["--out", out, "--devices", "all"]) == 0
+        assert main(args + ["--out", single]) == 0
+        np.testing.assert_array_equal(read_image(out), read_image(single))
+
+    def test_render_devices_ring(self, tmp_path):
+        import numpy as np
+
+        from raytpu.cli.main import main
+        from raytpu.io.image import read_image
+
+        out = str(tmp_path / "ring.png")
+        single = str(tmp_path / "s.png")
+        args = ["render", "--scene", "spheres", "--width", "24",
+                "--height", "24", "--max-reflections", "1",
+                "--intersector", "tiled"]
+        assert main(args + ["--out", out, "--devices", "all",
+                            "--ring"]) == 0
+        assert main(args + ["--out", single]) == 0
+        a, b = read_image(out), read_image(single)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

@@ -49,6 +49,13 @@ CONFIGS.update({
     "vpu-g2k4": (False, None, False, 0, 256, 0, 2, 4),
     "vpu-ts128g2k2": (False, None, False, 0, 128, 0, 2, 2),
 })
+# r4 layouts: the transposed (C, TS) tlane kernel (tools/r4lab7 has the
+# fuller comparison incl. shadow queries and frames).
+CONFIGS = {k: v + ("row",) for k, v in CONFIGS.items()}
+CONFIGS.update({
+    "tlane-g2": (False, None, False, 0, 256, 0, 2, 1, "t"),
+    "tlane-ts128": (False, None, False, 0, 128, 0, 2, 1, "t"),
+})
 
 
 def pack(origin, direction, ts):
@@ -111,7 +118,8 @@ def main():
     packs = {}
     ref_bt = None
     for name in names:
-        mxu, prec, pretest, recull, ts, max_trips, ngrp, kc = CONFIGS[name]
+        (mxu, prec, pretest, recull, ts, max_trips, ngrp, kc,
+         layout) = CONFIGS[name]
         if ts not in packs:
             perm = block_order_perm(args.res, args.res, int(ts ** 0.5))
             packs[ts] = pack(jax.device_put(origin[perm]),
@@ -119,12 +127,14 @@ def main():
         packed = packs[ts]
         fn = jax.jit(lambda p_, a, ro, b, mxu=mxu, prec=prec,
                      pretest=pretest, recull=recull, mt=max_trips,
-                     ng=ngrp, ts=ts, kc=kc: fused_mod.fused_tiles(
+                     ng=ngrp, ts=ts, kc=kc, lay=layout: fused_mod.fused_tiles(
                          p_, a, ro, b, ts=ts, has_ignore=False, mxu=mxu,
                          mxu_precision=prec or "highest",
                          pretest=pretest, recull_every=recull,
-                         max_trips=mt, ngrp=ng, chunk_k=kc, uvt=UVT))
-        block = cl["gblock" if mxu else "block"]
+                         max_trips=mt, ngrp=ng, chunk_k=kc, uvt=UVT,
+                         layout=lay))
+        block = cl["gblock" if mxu else
+                   ("tblock" if layout == "t" else "block")]
         t0 = time.perf_counter()
         bt, code, uvt, res, iters = fn(packed, cl["aabb"], cl["root"], block)
         float(np.asarray(bt.sum()))
