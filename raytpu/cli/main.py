@@ -192,28 +192,38 @@ def _mesh(args):
     return make_mesh(devices=devs[:n])
 
 
-def _render_frame(flat, cfg, cam, mesh, ring: bool, progress=None,
-                  watch_path=None):
-    """One frame through the configured execution mode.
+def _make_frame_renderer(flat, cfg, mesh, ring: bool):
+    """Frame renderer for the configured execution mode.
 
     Parallel rendering is a first-class product path, not a library
     corner — the reference's scanline pool is its DEFAULT execution mode
     (RayTracer.cs:48-120); here ``--devices all`` shards rays over the
     mesh (dist/render.py) and ``--ring`` additionally ring-shards the
-    geometry + shade tables for >HBM scenes (dist/bigscene.py)."""
-    if mesh is not None and ring:
-        from raytpu.dist.bigscene import render_image_ring
+    geometry + shade tables for >HBM scenes (dist/bigscene.py).
 
-        return render_image_ring(flat, cfg, cam, mesh)
+    Scene placement (replication or ring sharding) happens ONCE here, not
+    per frame — an animation re-renders, it does not re-upload."""
+    if ring and mesh is None:
+        raise SystemExit("--ring needs --devices > 1 (ring sharding "
+                         "splits tables across a device mesh)")
+    if mesh is not None and ring:
+        from raytpu.dist.bigscene import (render_image_ring,
+                                          shard_scene_clusters,
+                                          shard_scene_shade)
+
+        shards = shard_scene_clusters(flat, mesh)
+        shade = shard_scene_shade(flat, mesh)
+        return lambda cam, **_: render_image_ring(
+            flat, cfg, cam, mesh, shards=shards, shade=shade)
     if mesh is not None:
         from raytpu.dist import render_image_sharded, replicate_scene
 
-        return render_image_sharded(replicate_scene(flat, mesh), cfg, cam,
-                                    mesh)
+        rep = replicate_scene(flat, mesh)
+        return lambda cam, **_: render_image_sharded(rep, cfg, cam, mesh)
     from raytpu.render import render_image
 
-    return render_image(flat, cfg, cam, progress=progress,
-                        watch_path=watch_path)
+    return lambda cam, progress=None, watch_path=None: render_image(
+        flat, cfg, cam, progress=progress, watch_path=watch_path)
 
 
 def cmd_render(args) -> int:
@@ -232,10 +242,11 @@ def cmd_render(args) -> int:
     elif args.progress:
         print("(--progress is per-tile host dispatch; ignored with "
               "--devices > 1)")
-    img = _render_frame(flat, cfg, cam, mesh, getattr(args, "ring", False),
-                        progress=progress,
-                        watch_path=args.out if args.watch and mesh is None
-                        else None)
+    render = _make_frame_renderer(flat, cfg, mesh,
+                                  getattr(args, "ring", False))
+    img = render(cam, progress=progress,
+                 watch_path=args.out if args.watch and mesh is None
+                 else None)
     if args.progress:
         print()
     write_image(args.out, img)
@@ -254,7 +265,8 @@ def cmd_animate(args) -> int:
     flat = _flatten(scene, args)
     cfg = _config(args)
     base_cam = _camera(args, args.width / args.height, scene_cam)
-    mesh = _mesh(args)
+    render = _make_frame_renderer(flat, cfg, _mesh(args),
+                                  getattr(args, "ring", False))
 
     frame_dir = args.frame_dir or os.path.splitext(args.out)[0] + "_frames"
     os.makedirs(frame_dir, exist_ok=True)
@@ -289,8 +301,7 @@ def cmd_animate(args) -> int:
                 target=base_cam.target, fov=base_cam.fov,
                 aspect=args.width / args.height,
             )
-            img = np.asarray(_render_frame(
-                flat, cfg, cam, mesh, getattr(args, "ring", False)))
+            img = np.asarray(render(cam))
             frame = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
             write_image(fp, img)
             w.add_frame(frame)
@@ -352,6 +363,9 @@ def cmd_fit(args) -> int:
             perturb[f] = a + 0.02 * jax.random.normal(sub, a.shape, a.dtype)
         flat = flat.replace(**perturb)
 
+    if getattr(args, "ring", False):
+        raise SystemExit("--ring is not supported for fit (differentiable "
+                         "ring rendering is not built)")
     os.makedirs(args.out, exist_ok=True)
     fitted, _params, losses = fit(
         flat, cfg, cam, target, fields=fields, steps=args.steps,

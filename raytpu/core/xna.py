@@ -95,15 +95,7 @@ def unproject(screen, view, proj, viewport_wh, world=None):
     ``viewport_wh`` = (width, height); viewport origin 0, MinDepth 0,
     MaxDepth 1 (the reference never changes them).
     """
-    w, h = viewport_wh
-    m = view @ proj if world is None else world @ view @ proj
-    inv = jnp.linalg.inv(m)
-    screen = jnp.asarray(screen, jnp.float32)
-    sx = screen[..., 0] / w * 2.0 - 1.0
-    sy = -(screen[..., 1] / h * 2.0 - 1.0)
-    sz = screen[..., 2]
-    src = jnp.stack([sx, sy, sz], axis=-1)
-    xyz, a = transform_homogeneous(src, inv)
+    xyz, a = unproject_h(screen, view, proj, viewport_wh, world)
     # XNA divides unless a == 1 within float.Epsilon; dividing by exactly 1 is
     # a no-op so we always divide.
     return xyz / a[..., None]

@@ -152,8 +152,12 @@ def rebuild_accel(scene: FlatScene, params: Dict,
 
     ct = build_clusters(v, cluster_size=csize, valid=valid,
                         pad_clusters_to=pad_clusters_to)
+    # Mirror the existing bake's optional tables exactly: adding a key the
+    # scene did not have would change the pytree structure and retrace the
+    # compiled fit step (the rebuild_every contract).
     newcl = ct.as_device_arrays(v1, e1, e2, sn, mids,
-                                build_gblock="gblock" in scene.clusters)
+                                build_gblock="gblock" in scene.clusters,
+                                build_tblock="tblock" in scene.clusters)
     return scene.replace(clusters=newcl)
 
 

@@ -430,6 +430,10 @@ def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
         raise NotImplementedError(
             "differentiable ring rendering is not built (the recompute "
             "path gathers replicated SoA tables)")
+    if mesh is None:
+        from raytpu.dist.mesh import make_mesh
+
+        mesh = make_mesh()
     if shards is None:
         shards = shard_scene_clusters(flat, mesh)
     if shade is None:
@@ -442,14 +446,15 @@ def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
                         gather=gather)
 
 
-def render_image_ring(flat, cfg, camera=None, mesh: Mesh = None,
+def render_image_ring(flat, cfg, camera=None, mesh: Optional[Mesh] = None,
                       shards: Optional[dict] = None,
                       shade: Optional[dict] = None):
     """Full-frame ring-sharded render → (H, W, 3) float32.
 
     The >HBM half of BASELINE config 5: rays are data-parallel over the
     ring devices while the geometry + shade tables stay sharded; the
-    output frame is assembled on the host exactly like render_image."""
+    output frame is assembled on the host exactly like render_image.
+    ``mesh`` defaults to a 1-D mesh over all local devices."""
     from raytpu.core.camera import Camera, camera_rays
     from raytpu.render.wavefront import block_order_perm
 

@@ -106,6 +106,37 @@ def _tile_bounds_lm(m, o_rows, d_rows):
     return om, oM, dm, dM, any_m
 
 
+def _finite_and_cap_lm(root_ref, o_rows, d_rows, tmax_in):
+    """Finite-ray mask + per-ray root-AABB-capped t bound, lane-major.
+
+    The prepare_tiles-parity prologue shared by ALL walk kernels (classic
+    / prepick / tlane): the rescue and phase-2 exactness contracts rely on
+    every kernel computing bit-identical caps, so there is exactly one
+    copy of this arithmetic.  Returns ((1, TS) finite, (1, TS) capped
+    tmax)."""
+    f32 = jnp.float32
+    oxr, oyr, ozr = o_rows
+    dxr, dyr, dzr = d_rows
+    ts = oxr.shape[1]
+    finite = (
+        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
+        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
+    )
+    margin = root_ref[0, 6]
+    t_en = jnp.full((1, ts), -INF, f32)
+    t_ex = jnp.full((1, ts), INF, f32)
+    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
+        safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
+        t1 = (root_ref[0, k] - margin - okr) / safe_d
+        t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
+        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
+        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
+    root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
+    cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
+    cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
+    return finite, jnp.minimum(tmax_in, cap)
+
+
 def _entry_grid(aabb, valid_col, bounds, wcap):
     """Conservative entry bounds for the beam with bounds from
     ``_tile_bounds_lm``.
@@ -206,27 +237,10 @@ def _fused_kernel(
     itri = jax.lax.bitcast_convert_type(col(7), i32)
     imesh = jax.lax.bitcast_convert_type(col(8), i32)
 
-    # ---- Tile bounds mask (non-finite rays excluded; prepare_tiles
-    # parity); the bound reductions themselves live in tile_bounds(). ----
-    finite = (
-        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
-        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
-    )
-
-    # ---- Per-ray root-AABB t cap (accel/tiled.py::prepare_tiles) ----
-    margin = root_ref[0, 6]
-    t_en = jnp.full((1, ts), -INF, f32)
-    t_ex = jnp.full((1, ts), INF, f32)
-    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
-        safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
-        t1 = (root_ref[0, k] - margin - okr) / safe_d
-        t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
-        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
-        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
-    root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
-    cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
-    cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
-    tmax_lm = jnp.minimum(tmax_in, cap)  # (1, TS) lane-major
+    # ---- Finite mask + per-ray root-AABB t cap (shared helper) ----
+    finite, tmax_lm = _finite_and_cap_lm(
+        root_ref, (oxr, oyr, ozr), (dxr, dyr, dzr), tmax_in)
+    margin = root_ref[0, 6]  # also used by the slab pretest below
     tile_tmax = jnp.max(tmax_lm)
     # One relayout into the walk's column shape.
     tmax0 = tmax_lm.reshape(ts, 1)
@@ -653,25 +667,8 @@ def _prepick_kernel(
     itri = jax.lax.bitcast_convert_type(col(7), i32)
     imesh = jax.lax.bitcast_convert_type(col(8), i32)
 
-    finite = (
-        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
-        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
-    )
-
-    # Per-ray root-AABB t cap (identical to _fused_kernel).
-    margin = root_ref[0, 6]
-    t_en = jnp.full((1, ts), -INF, f32)
-    t_ex = jnp.full((1, ts), INF, f32)
-    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
-        safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
-        t1 = (root_ref[0, k] - margin - okr) / safe_d
-        t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
-        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
-        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
-    root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
-    cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
-    cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
-    tmax_lm = jnp.minimum(tmax_in, cap)
+    finite, tmax_lm = _finite_and_cap_lm(
+        root_ref, (oxr, oyr, ozr), (dxr, dyr, dzr), tmax_in)
     tile_tmax = jnp.max(tmax_lm)
     tmax0 = tmax_lm.reshape(ts, 1)
 
@@ -896,25 +893,9 @@ def _tlane_kernel(
     itri = jax.lax.bitcast_convert_type(row(7), i32)
     imesh = jax.lax.bitcast_convert_type(row(8), i32)
 
-    finite = (
-        jnp.isfinite(oxr) & jnp.isfinite(oyr) & jnp.isfinite(ozr)
-        & jnp.isfinite(dxr) & jnp.isfinite(dyr) & jnp.isfinite(dzr)
-    )
-
-    # Per-ray root-AABB t cap (identical math to _fused_kernel).
-    margin = root_ref[0, 6]
-    t_en = jnp.full((1, ts), -INF, f32)
-    t_ex = jnp.full((1, ts), INF, f32)
-    for k, dk, okr in ((0, dxr, oxr), (1, dyr, oyr), (2, dzr, ozr)):
-        safe_d = jnp.where(dk == 0.0, f32(1e-30), dk)
-        t1 = (root_ref[0, k] - margin - okr) / safe_d
-        t2 = (root_ref[0, 3 + k] + margin - okr) / safe_d
-        t_en = jnp.maximum(t_en, jnp.minimum(t1, t2))
-        t_ex = jnp.minimum(t_ex, jnp.maximum(t1, t2))
-    root_hit = (t_en <= t_ex) & (t_ex >= 0.0)
-    cap = jnp.where(root_hit, t_ex * f32(1.0 + 1e-5) + margin, f32(0.0))
-    cap = jnp.where(jnp.isfinite(cap), cap, f32(0.0))
-    tmax0 = jnp.minimum(tmax_in, cap)  # (1, TS) — stays lane-major
+    finite, tmax0 = _finite_and_cap_lm(
+        root_ref, (oxr, oyr, ozr), (dxr, dyr, dzr), tmax_in)
+    # tmax0 stays lane-major (1, TS) in this kernel.
     tile_tmax = jnp.max(tmax0)
 
     row_io = jax.lax.broadcasted_iota(i32, (8, nc8), 0)

@@ -36,7 +36,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
                   max_depth: int = 12, build_clusters: bool = True,
                   cluster_size: int = 128,
                   cluster_method: str = "median",
-                  build_gblock: bool = False) -> FlatScene:
+                  build_gblock: bool = False,
+                  build_tblock: bool = True) -> FlatScene:
     tri_v = []
     tri_n = []
     tri_uv = []
@@ -209,7 +210,12 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
         ),
         clusters=(
             clusters.as_device_arrays(v[:, 0], e1, e2, snormal, mesh_idx,
-                                      build_gblock=build_gblock)
+                                      build_gblock=build_gblock,
+                                      # The tlane kernel's bake (+32/24 of
+                                      # the block HBM); pass False for
+                                      # scenes near the HBM limit that
+                                      # render through row-layout paths.
+                                      build_tblock=build_tblock)
             if clusters is not None
             else None
         ),

@@ -123,7 +123,8 @@ class Scene:
                 max_depth: int = 12, build_clusters: bool = True,
                 cluster_size: int = 128,
                 cluster_method: str = "median",
-                build_gblock: bool = False) -> "FlatScene":
+                build_gblock: bool = False,
+                build_tblock: bool = True) -> "FlatScene":
         from raytpu.scene.flatten import flatten_scene
 
         return flatten_scene(
@@ -137,6 +138,7 @@ class Scene:
             cluster_size=cluster_size,
             cluster_method=cluster_method,
             build_gblock=build_gblock,
+            build_tblock=build_tblock,
         )
 
 
