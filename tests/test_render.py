@@ -144,3 +144,51 @@ class TestWavefrontCompaction:
         img_u = self._render(
             flat, dataclasses.replace(cfg, compact_wavefront=False), cam)
         np.testing.assert_allclose(img_c, img_u, atol=1e-6)
+
+
+class TestShadowFromLight:
+    """Shadow-from-light reversal (render/wavefront.py::_light_result):
+    occlusion cast light->fragment with mirrored culling must give the
+    same image as the forward fragment->light query."""
+
+    @pytest.mark.parametrize("intersector",
+                             [Intersector.BRUTE, Intersector.TILED])
+    def test_reversed_equals_forward(self, intersector):
+        import dataclasses
+
+        from raytpu.config import RenderConfig
+        from raytpu.core.camera import Camera
+
+        # Sphere over plane: real occlusion (the sphere's shadow).
+        flat = sphere_and_plane_scene(reflect=0.2).flatten(
+            build_octree=False, cluster_size=16)
+        cfg = RenderConfig(width=32, height=32, max_reflections=1,
+                           intersector=intersector, quantize=Quantize.NONE,
+                           tile_pixels=1024, tri_block=256)
+        cam = Camera(position=(0.0, 16.0, 32.0), aspect=1.0)
+        img_rev = np.asarray(render_image(flat, cfg, cam))
+        img_fwd = np.asarray(render_image(
+            flat, dataclasses.replace(cfg, shadow_from_light=False), cam))
+        np.testing.assert_array_equal(img_rev, img_fwd)
+
+    def test_directional_light_stays_forward(self):
+        """Directional lights have no position; the reversal must not
+        engage (light_kinds gating) and the render must still match the
+        forward-only config."""
+        import dataclasses
+
+        from raytpu.config import RenderConfig
+        from raytpu.core.camera import Camera
+
+        flat = sphere_and_plane_scene(reflect=0.0, light="directional"
+                                      ).flatten(build_octree=False,
+                                                cluster_size=16)
+        cfg = RenderConfig(width=24, height=24, max_reflections=0,
+                           intersector=Intersector.BRUTE,
+                           quantize=Quantize.NONE, tile_pixels=576,
+                           tri_block=256)
+        cam = Camera(position=(0.0, 16.0, 32.0), aspect=1.0)
+        img_a = np.asarray(render_image(flat, cfg, cam))
+        img_b = np.asarray(render_image(
+            flat, dataclasses.replace(cfg, shadow_from_light=False), cam))
+        np.testing.assert_array_equal(img_a, img_b)
