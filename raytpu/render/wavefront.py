@@ -284,18 +284,27 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     )
     soft_vis = None
     if cfg.differentiable:
+        hit = jax.tree.map(jax.lax.stop_gradient, hit)
+    mask = hit.hit & rays.alive
+    tri = hit.tri
+    td = gather(scene, tri)
+    if cfg.differentiable:
         # Detach the discrete search, then recompute (u, v, t) from the hit
         # triangle so gradients flow regardless of intersector backend.  The
         # recompute uses the same formula on the same inputs → identical
         # forward values (see core/intersect.py::moller_trumbore_safe).
-        hit = jax.tree.map(jax.lax.stop_gradient, hit)
-        safe_tri = jnp.maximum(hit.tri, 0)
+        # The triangle data comes from the SAME gathered row as shading
+        # (td) — a second differentiable gather of tri_v1/e1/e2 would cost
+        # a second full scatter-add in the backward (the gather VJP is the
+        # single biggest backward line item, docs/PERF.md r4).  Misses
+        # gather the wrap row instead of row 0 — masked below either way,
+        # and the determinant guard keeps them NaN-free.
         u_d, v_d, t_d = intersect.moller_trumbore_safe(
             rays.origin,
             rays.direction,
-            scene.tri_v1[safe_tri],
-            scene.tri_e1[safe_tri],
-            scene.tri_e2[safe_tri],
+            td["v1"],
+            td["e1"],
+            td["e2"],
         )
         u = jnp.where(hit.hit, u_d, 0.0)
         v = jnp.where(hit.hit, v_d, 0.0)
@@ -307,10 +316,6 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
             soft = jax.nn.sigmoid(edge / cfg.soft_tau)
             soft_vis = soft - jax.lax.stop_gradient(soft)
         hit = hit._replace(u=u, v=v, t=jnp.where(hit.hit, t_d, hit.t))
-
-    mask = hit.hit & rays.alive
-    tri = hit.tri
-    td = gather(scene, tri)
     mat = scene.mesh_material[td["mesh"]]
 
     # Fragment normal (RayTracer.cs:520-531).
