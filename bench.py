@@ -186,7 +186,7 @@ def bench_backward(flat, cfg, sync):
     params = extract_params(flat, GEOMETRY)
     optimizer = optax.sgd(0.0)  # timing only: do not perturb the scene
     opt_state = optimizer.init(params)
-    step = make_fit_step(flat, cfg_b, optimizer)
+    step = make_fit_step(flat, cfg_b, optimizer, fields=GEOMETRY)
 
     _, _, loss = step(params, opt_state, o, d, target)
     sync(loss)

@@ -158,6 +158,15 @@ class RenderConfig:
     # pixel gradients flow to geometry/normals/UVs/materials/texels through
     # any intersector backend (requires quantize == NONE for nonzero grads).
     differentiable: bool = False
+    # Which tri_shade channels carry gradients in differentiable mode.
+    # "all" (default): exact for ANY trainable FlatScene field.
+    # "geometry": the per-ray shade-row gather backpropagates only the
+    # v1/e1/e2 (cols 0:9) and snormal (24:27) channels — its VJP scatter-
+    # add then runs on a (T, 12) table instead of (T, 32).  Exact when the
+    # trainable fields are a subset of diff/params.GEOMETRY (plus
+    # textures/material tables, which do not flow through tri_shade);
+    # diff/fit.py sets this automatically from the requested fields.
+    grad_channels: str = "all"
     # Edge softness for straight-through visibility gradients: 0 keeps hard
     # visibility (zero gradient across silhouettes); > 0 keeps the forward
     # image exact but backpropagates through a sigmoid of the barycentric

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from raytpu.config import Quantize, RenderConfig
 from raytpu.core.camera import Camera, camera_rays
-from raytpu.diff.params import GEOMETRY, TEXTURE, apply_params, extract_params
+from raytpu.diff.params import (GEOMETRY, SHADE_CONST_FIELDS, TEXTURE,
+                                apply_params, extract_params)
 from raytpu.render.wavefront import render_rays
 from raytpu.scene.types import FlatScene
 
@@ -56,7 +57,8 @@ def render_loss(scene: FlatScene, cfg: RenderConfig, params: Dict,
 
 def make_fit_step(scene: FlatScene, cfg: RenderConfig,
                   optimizer: optax.GradientTransformation,
-                  mesh: Optional[Mesh] = None) -> Callable:
+                  mesh: Optional[Mesh] = None,
+                  fields: Optional[Sequence[str]] = None) -> Callable:
     """Build a jitted ``step(params, opt_state, origin, direction, target)
     -> (params, opt_state, loss)``.
 
@@ -71,6 +73,11 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
     psum-averaged across the mesh.
     """
     cfg = _diff_cfg(cfg)
+    if fields is not None and not (set(fields) & SHADE_CONST_FIELDS):
+        # None of the trainable fields flows through the non-geometry
+        # shade-row channels: the gather's VJP may scatter only the
+        # (T, 12) geometry columns (config.py grad_channels contract).
+        cfg = dataclasses.replace(cfg, grad_channels="geometry")
 
     if mesh is None:
 
@@ -224,7 +231,7 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
         pad_to = nc0 + max(8, nc0 // 8)  # slack for split-count drift
         scene = rebuild_accel(scene, params, pad_to)
 
-    step_fn = make_fit_step(scene, cfg, optimizer, mesh)
+    step_fn = make_fit_step(scene, cfg, optimizer, mesh, fields=fields)
     if valid is not None:
         step_fn.set_valid(valid)
     history = []
@@ -240,7 +247,8 @@ def fit(scene: FlatScene, cfg: RenderConfig, camera: Camera, target_image,
                 # a partially-done fit.
                 pad_to = int(pad_to * 1.5) + 8
                 scene = rebuild_accel(scene, params, pad_to)
-                step_fn = make_fit_step(scene, cfg, optimizer, mesh)
+                step_fn = make_fit_step(scene, cfg, optimizer, mesh,
+                                        fields=fields)
                 if valid is not None:
                     step_fn.set_valid(valid)
         params, opt_state, loss = step_fn(params, opt_state, o, d, target)

@@ -20,6 +20,16 @@ from raytpu.scene.types import FlatScene
 
 #: Parameter groups a fit can select (BASELINE config 4 uses GEOMETRY+TEXTURE).
 GEOMETRY = ("tri_v1", "tri_e1", "tri_e2")
+
+# Fields whose gradients flow through the NON-geometry tri_shade channels:
+# training any of these requires cfg.grad_channels == "all" (the packed
+# gather's geometry-pruned VJP would silently zero them —
+# render/wavefront.py::_gather_rows_geo).  tri_snormal is NOT here: its
+# channel (24:27) is kept by the pruned VJP.
+SHADE_CONST_FIELDS = frozenset({
+    "tri_n1", "tri_n2", "tri_n3", "tri_uv1", "tri_uv2", "tri_uv3",
+    "tri_color", "tri_mesh",
+})
 NORMALS = ("tri_n1", "tri_n2", "tri_n3")
 TEXTURE = ("textures",)
 VERTEX_COLORS = ("tri_color",)

@@ -86,11 +86,45 @@ def shade_row_views(s):
     }
 
 
-def _gather_tri(scene: FlatScene, tri):
+@jax.custom_vjp
+def _gather_rows_geo(table, tri):
+    """tri_shade row gather whose VJP scatters ONLY the geometry channels.
+
+    Forward-identical to ``table[tri]``.  Backward: the cotangent of the
+    non-geometry channels (normals/uv/color/mesh — scene constants under
+    GEOMETRY fits) is dropped and the scatter-add runs on a packed (T, 12)
+    table (v1 e1 e2 | snormal) instead of (T, 32) — the scatter is the
+    single biggest backward line item (docs/PERF.md r4).  Only used when
+    cfg.grad_channels == "geometry" (exactness contract in config.py)."""
+    return table[tri]
+
+
+def _gather_rows_geo_fwd(table, tri):
+    return table[tri], (tri, table.shape[0])
+
+
+def _gather_rows_geo_bwd(res, ct):
+    tri, t = res
+    packed = jnp.concatenate([ct[..., 0:9], ct[..., 24:27]], axis=-1)
+    z = jnp.zeros((t, 12), ct.dtype).at[tri].add(packed)
+    ct_table = jnp.concatenate(
+        [z[:, 0:9],
+         jnp.zeros((t, 15), ct.dtype),
+         z[:, 9:12],
+         jnp.zeros((t, 5), ct.dtype)], axis=-1)
+    return ct_table, None
+
+
+_gather_rows_geo.defvjp(_gather_rows_geo_fwd, _gather_rows_geo_bwd)
+
+
+def _gather_tri(scene: FlatScene, tri, grad_channels: str = "all"):
     if scene.tri_shade is not None:
         # One packed (32,)-float row per ray (FlatScene.tri_shade) instead
         # of twelve separate gathers — gathers dominate the XLA-side cost
         # of shading at 1M rays on TPU.
+        if grad_channels == "geometry":
+            return shade_row_views(_gather_rows_geo(scene.tri_shade, tri))
         return shade_row_views(scene.tri_shade[tri])
     g = lambda arr: arr[tri]
     return {
@@ -266,6 +300,13 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     dist/bigscene.py injects ring-sharded >HBM implementations."""
     if query is None:
         query = _default_query(cfg)
+    if gather is _gather_tri:
+        # Bind the cfg's gradient-channel contract into the default gather
+        # (injected gathers manage their own differentiability).
+        import functools
+
+        gather = functools.partial(_gather_tri,
+                                   grad_channels=cfg.grad_channels)
     # In differentiable mode the discrete query is detached (its outputs
     # are stop-gradient'ed below and (u, v, t) recomputed), so detach its
     # INPUTS too: AD then never enters the intersector at all — required

@@ -288,3 +288,40 @@ def test_rebuild_accel_shapes_stable():
     # The rebuilt tables actually reflect the moved geometry.
     assert not np.allclose(np.asarray(r1.clusters["cluster_min"]),
                            np.asarray(r2.clusters["cluster_min"]))
+
+
+def test_geometry_grad_channels_match_all():
+    """The geometry-pruned shade-row gather VJP (cfg.grad_channels =
+    "geometry") must produce the SAME gradients as the exact "all" path
+    for GEOMETRY params — the pruned channels are scene constants there
+    (render/wavefront.py::_gather_rows_geo contract)."""
+    import dataclasses
+
+    import jax
+
+    from raytpu.config import Intersector, Quantize, RenderConfig
+    from raytpu.core.camera import Camera, camera_rays
+    from raytpu.diff.fit import render_loss
+    from raytpu.diff.params import GEOMETRY, extract_params
+    from tests.scenes import sphere_and_plane_scene
+
+    flat = sphere_and_plane_scene(reflect=0.3, textured=True).flatten(
+        build_octree=False, cluster_size=16)
+    cfg = RenderConfig(width=16, height=16, max_reflections=1,
+                       intersector=Intersector.TILED,
+                       quantize=Quantize.NONE, tile_pixels=256,
+                       differentiable=True)
+    cam = Camera(position=(0.0, 16.0, 32.0), aspect=1.0)
+    o, d = camera_rays(cam, 16, 16)
+    params = extract_params(flat, GEOMETRY)
+    target = jnp.zeros((256, 3), jnp.float32)
+
+    g_all = jax.grad(render_loss, argnums=2)(flat, cfg, params, o, d,
+                                             target)
+    cfg_geo = dataclasses.replace(cfg, grad_channels="geometry")
+    g_geo = jax.grad(render_loss, argnums=2)(flat, cfg_geo, params, o, d,
+                                             target)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_geo[k]),
+                                   np.asarray(g_all[k]),
+                                   rtol=1e-5, atol=1e-7)
