@@ -407,7 +407,7 @@ class TestPrepickKernel:
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         return o, jnp.asarray(d, jnp.float32)
 
-    @pytest.mark.parametrize("prepick", [2, 4, 64])
+    @pytest.mark.parametrize("prepick", [2, 64])
     def test_nearest_matches_brute(self, flat, prepick):
         from raytpu.accel.traverse import nearest_hit_brute
         from raytpu.kernels.fused import nearest_hit_fused
@@ -423,7 +423,7 @@ class TestPrepickKernel:
         np.testing.assert_array_equal(np.asarray(hf.tri)[m],
                                       np.asarray(hb.tri)[m])
 
-    @pytest.mark.parametrize("prepick", [0, 3, 64])
+    @pytest.mark.parametrize("prepick", [3, 64])
     def test_any_hit_with_tmax(self, flat, prepick):
         from raytpu.accel.traverse import nearest_hit_brute
         from raytpu.kernels.fused import nearest_hit_fused

@@ -165,9 +165,9 @@ class TestRingRendering:
         fl = sphere_and_plane_scene(
             reflect=0.4, textured=True, transparent=transparent,
         ).flatten(build_octree=False, cluster_size=16)
-        cfg = small_cfg(width=32, height=24, max_reflections=2,
-                        intersector=Intersector.TILED)
-        cam = default_camera(aspect=32 / 24)
+        cfg = small_cfg(width=24, height=16, max_reflections=2,
+                        intersector=Intersector.TILED, tile_pixels=384)
+        cam = default_camera(aspect=24 / 16)
         mesh = make_mesh()
         img_ring = np.asarray(render_image_ring(fl, cfg, cam, mesh))
         img_rep = np.asarray(render_image(fl, cfg, cam))
