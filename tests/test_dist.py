@@ -159,7 +159,13 @@ class TestRingRendering:
 
     @pytest.mark.parametrize("transparent", [False, True])
     def test_ring_render_matches_replicated(self, transparent):
-        from raytpu.dist.bigscene import render_image_ring
+        """Ring pixel parity vs the replicated renderer; the opaque case
+        additionally renders from a STRIPPED scene + prebuilt shards
+        (strip_for_ring drops every per-triangle array), proving the >HBM
+        property: no code path touches a replicated triangle table."""
+        from raytpu.dist.bigscene import (render_image_ring,
+                                          shard_scene_clusters,
+                                          shard_scene_shade, strip_for_ring)
         from raytpu.dist.mesh import make_mesh
 
         fl = sphere_and_plane_scene(
@@ -169,29 +175,14 @@ class TestRingRendering:
                         intersector=Intersector.TILED, tile_pixels=384)
         cam = default_camera(aspect=24 / 16)
         mesh = make_mesh()
-        img_ring = np.asarray(render_image_ring(fl, cfg, cam, mesh))
         img_rep = np.asarray(render_image(fl, cfg, cam))
-        np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
-
-    def test_ring_render_needs_no_triangle_tables(self):
-        """strip_for_ring drops every per-triangle array; rendering from
-        prebuilt shards alone proves the >HBM property (no code path
-        touches a replicated triangle table)."""
-        from raytpu.dist.bigscene import (render_image_ring,
-                                          shard_scene_clusters,
-                                          shard_scene_shade, strip_for_ring)
-        from raytpu.dist.mesh import make_mesh
-
-        fl = sphere_and_plane_scene(reflect=0.3).flatten(
-            build_octree=False, cluster_size=16)
-        mesh = make_mesh()
-        shards = shard_scene_clusters(fl, mesh)
-        shade = shard_scene_shade(fl, mesh)
-        cfg = small_cfg(width=24, height=24, max_reflections=1)
-        cam = default_camera()
-        img_rep = np.asarray(render_image(fl, cfg, cam))
-        stripped = strip_for_ring(fl)
-        assert stripped.tri_shade is None and stripped.tri_v1 is None
-        img_ring = np.asarray(render_image_ring(
-            stripped, cfg, cam, mesh, shards=shards, shade=shade))
+        if transparent:
+            img_ring = np.asarray(render_image_ring(fl, cfg, cam, mesh))
+        else:
+            shards = shard_scene_clusters(fl, mesh)
+            shade = shard_scene_shade(fl, mesh)
+            stripped = strip_for_ring(fl)
+            assert stripped.tri_shade is None and stripped.tri_v1 is None
+            img_ring = np.asarray(render_image_ring(
+                stripped, cfg, cam, mesh, shards=shards, shade=shade))
         np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
