@@ -180,10 +180,12 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
         instance=jnp.full((r,), -1, jnp.int32),
     )
 
-    if order is not None and sorted(order) != list(range(len(instances))):
-        # A partial order would silently skip instances' intersections.
-        raise ValueError(
-            f"order must be a permutation of range({len(instances)})")
+    if order is not None:
+        order = list(order)  # materialize: validation must not consume it
+        if sorted(order) != list(range(len(instances))):
+            # A partial order would silently skip instances' intersections.
+            raise ValueError(
+                f"order must be a permutation of range({len(instances)})")
     stats = [None] * len(instances)
     for idx in (order if order is not None else range(len(instances))):
         inst = instances[idx]

@@ -336,6 +336,9 @@ def cmd_fit(args) -> int:
     from raytpu.io.image import read_image, write_image
     from raytpu.render import render_image
 
+    if getattr(args, "ring", False):
+        raise SystemExit("--ring is not supported for fit (differentiable "
+                         "ring rendering is not built)")
     scene, scene_cam = _load_scene(args)
     flat = _flatten(scene, args)
     cfg = _config(args)
@@ -363,9 +366,6 @@ def cmd_fit(args) -> int:
             perturb[f] = a + 0.02 * jax.random.normal(sub, a.shape, a.dtype)
         flat = flat.replace(**perturb)
 
-    if getattr(args, "ring", False):
-        raise SystemExit("--ring is not supported for fit (differentiable "
-                         "ring rendering is not built)")
     os.makedirs(args.out, exist_ok=True)
     fitted, _params, losses = fit(
         flat, cfg, cam, target, fields=fields, steps=args.steps,

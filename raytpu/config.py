@@ -167,6 +167,12 @@ class RenderConfig:
     # textures/material tables, which do not flow through tri_shade);
     # diff/fit.py sets this automatically from the requested fields.
     grad_channels: str = "all"
+
+    def __post_init__(self):
+        if self.grad_channels not in ("all", "geometry"):
+            raise ValueError(
+                f"grad_channels must be 'all' or 'geometry', got "
+                f"{self.grad_channels!r}")
     # Edge softness for straight-through visibility gradients: 0 keeps hard
     # visibility (zero gradient across silhouettes); > 0 keeps the forward
     # image exact but backpropagates through a sigmoid of the barycentric

@@ -73,11 +73,18 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
     psum-averaged across the mesh.
     """
     cfg = _diff_cfg(cfg)
-    if fields is not None and not (set(fields) & SHADE_CONST_FIELDS):
-        # None of the trainable fields flows through the non-geometry
-        # shade-row channels: the gather's VJP may scatter only the
-        # (T, 12) geometry columns (config.py grad_channels contract).
-        cfg = dataclasses.replace(cfg, grad_channels="geometry")
+    if fields is not None:
+        if set(fields) & SHADE_CONST_FIELDS:
+            # These fields' gradients flow through the channels the
+            # pruned gather VJP drops — force the exact path even if the
+            # caller's cfg carried grad_channels="geometry" from an
+            # earlier geometry fit (silent zero gradients otherwise).
+            cfg = dataclasses.replace(cfg, grad_channels="all")
+        else:
+            # None of the trainable fields flows through the non-geometry
+            # shade-row channels: the gather's VJP may scatter only the
+            # (T, 12) geometry columns (config.py grad_channels contract).
+            cfg = dataclasses.replace(cfg, grad_channels="geometry")
 
     if mesh is None:
 
