@@ -289,7 +289,11 @@ def nearest_hit_tiled(scene, origin, direction, ignore_tri=None,
     # Derive from ``o`` (not a fresh constant) so the scan carries inherit
     # the device-varying manual axes under shard_map — a constant init
     # trips the while_loop vma check when this runs sharded (diff/fit.py).
-    zero = o[..., 0] * 0.0
+    # zeros_like (not o*0.0): a non-finite origin would make o*0.0 NaN and
+    # NaN.astype(int32) is backend-defined (INT_MIN wraps izero-1 to a huge
+    # positive btri => phantom hit); zeros_like keeps the manual-axes aval
+    # while staying exactly 0 for every lane.
+    zero = jnp.zeros_like(o[..., 0])
     izero = zero.astype(jnp.int32)
     init = (
         counts == 0,

@@ -73,6 +73,17 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
     psum-averaged across the mesh.
     """
     cfg = _diff_cfg(cfg)
+    # FlatScene.has_dual_branch is a *flatten-time* static flag (reflection
+    # XOR refraction per material, from the original Material dataclasses).
+    # A MATERIALS fit can raise mat_reflect above 0 on a transparent
+    # material at runtime, making BOTH children live — the merged
+    # single-child wavefront path would then silently drop the refraction
+    # branch (wrong image, wrong gradients).  Force the dual-branch path
+    # whenever mat_reflect is trainable on a transparent scene.
+    force_dual = ("mat_reflect" in (fields or ())
+                  and scene.has_transparent and not scene.has_dual_branch)
+    if force_dual:
+        scene = scene.replace(has_dual_branch=True)
     if fields is not None:
         if set(fields) & SHADE_CONST_FIELDS:
             # These fields' gradients flow through the channels the
@@ -137,7 +148,12 @@ def make_fit_step(scene: FlatScene, cfg: RenderConfig,
         return _impl(box["scene"], params, opt_state, origin, direction,
                      target, valid)
 
-    step.set_scene = lambda s: box.__setitem__("scene", s)
+    def _set_scene(s):
+        if force_dual and s.has_transparent and not s.has_dual_branch:
+            s = s.replace(has_dual_branch=True)
+        box["scene"] = s
+
+    step.set_scene = _set_scene
     step.set_valid = lambda v: box.__setitem__("valid", v)
     return step
 

@@ -32,9 +32,10 @@ order) — rotation-dependent, unlike the single-chip walk's entry-order
 tie-break.  Real scenes hit this with probability ~0; documented deviation.
 
 Shading tables are a separate concern: only the per-ray winner is shaded,
-so a >HBM renderer shards ``tri_shade`` the same way and resolves winner
-rows with one more ring pass (not built — intersection dominates both
-memory and time).
+so the >HBM renderer shards ``tri_shade`` the same way
+(``shard_scene_shade``) and resolves winner rows with one more ring pass
+(``gather_rows_ring``); ``render_image_ring`` runs the full unmodified
+wavefront on top of both.
 """
 
 from __future__ import annotations

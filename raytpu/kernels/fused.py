@@ -1325,6 +1325,10 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         raise ValueError(
             "mxu=True requires the gblock bake: flatten the scene with "
             "build_gblock=True")
+    if layout == "t" and "tblock" not in cl:
+        raise ValueError(
+            "layout='t' requires the tblock bake: flatten the scene with "
+            "build_tblock=True")
     if layout is None:
         # Measured split (tools/r4lab7, v5e): the transposed pair layout
         # wins ~8% on nearest-hit queries (the uvt one-hot sums and winner

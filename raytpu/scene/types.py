@@ -212,7 +212,11 @@ class FlatScene(flax.struct.PyTreeNode):
     # live children (reflection + refraction), so wavefront levels must
     # double.  When False (plain glass / plain mirrors), each parent has at
     # most one live child and levels stay at R0 slots
-    # (render/wavefront.py::trace_colors child merge).
+    # (render/wavefront.py::trace_colors child merge).  NOTE: this is a
+    # *flatten-time* flag — if you replace(mat_reflect=...) post-flatten and
+    # raise a transparent material's reflectiveness above 0, you must also
+    # set has_dual_branch=True or the merged path drops the refraction
+    # branch (make_fit_step does this automatically for MATERIALS fits).
     has_dual_branch: bool = flax.struct.field(pytree_node=False,
                                               default=False)
 

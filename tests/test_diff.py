@@ -325,3 +325,36 @@ def test_geometry_grad_channels_match_all():
         np.testing.assert_allclose(np.asarray(g_geo[k]),
                                    np.asarray(g_all[k]),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_materials_fit_forces_dual_branch():
+    """Training mat_reflect on a transparent scene flattened WITHOUT a
+    dual-branch material must force the dual wavefront path: the merged
+    single-child path would silently drop the refraction branch once the
+    fit raises reflectiveness above 0 (advisor r4 medium finding)."""
+    from raytpu.diff.params import MATERIALS
+
+    scene = flatten_scene(
+        sphere_and_plane_scene(reflect=0.0, transparent=True))
+    assert scene.has_transparent and not scene.has_dual_branch
+
+    cfg = diff_cfg(width=12, height=12, max_reflections=2)
+    cam = default_camera()
+    o, d = camera_rays(cam, 12, 12)
+    target = jnp.zeros((12 * 12, 3))
+    params = extract_params(scene, MATERIALS)
+    # The fit has moved the transparent material's reflectiveness off 0:
+    # both children (reflection + refraction) are now live.
+    params["mat_reflect"] = jnp.clip(params["mat_reflect"] + 0.4, 0.0, 1.0)
+
+    step = make_fit_step(scene, cfg, optax.sgd(0.0), fields=MATERIALS)
+    _, _, loss_step = step(params, optax.sgd(0.0).init(params), o, d,
+                           target)
+
+    dual = scene.replace(has_dual_branch=True)
+    loss_dual = float(render_loss(dual, cfg, params, o, d, target))
+    loss_merged = float(render_loss(scene, cfg, params, o, d, target))
+    # The merged path visibly drops the refraction contribution here...
+    assert abs(loss_merged - loss_dual) > 1e-6
+    # ...and the fit step must be on the dual path.
+    np.testing.assert_allclose(float(loss_step), loss_dual, rtol=1e-6)
