@@ -72,7 +72,8 @@ class ClusterTable:
 
     def as_device_arrays(self, tri_v1, tri_e1, tri_e2, tri_snormal, tri_mesh,
                          build_gblock: bool = False,
-                         build_tblock: bool = True):
+                         build_tblock: bool = True,
+                         build_plane: bool = True):
         """Device dict: cluster AABBs + triangle geometry permuted into Morton
         order (slot -> original id in ``tri_id``; padding slots are degenerate
         triangles with ``tri_id == -1`` that can never be hit).
@@ -80,7 +81,31 @@ class ClusterTable:
         ``build_gblock``: also bake the MXU-path coefficient table (4x the
         geometry HBM; only read by kernels/fused.py with ``mxu=True``, which
         measured slower than the VPU path on v5e — opt-in so default scenes
-        pay nothing for it)."""
+        pay nothing for it).
+
+        **Subcluster packing** (``cluster_size`` 64 or 32): Mosaic DMA
+        slices must be 128-lane aligned, so sub-128 clusters cannot each be
+        a block — instead ``subk = 128 // cluster_size`` *consecutive*
+        spatial leaves pack into one 128-lane block (leaves are Morton-
+        ordered, so siblings are spatial neighbors and the block-level AABB
+        stays reasonable).  The fused tlane kernel then culls, orders and
+        tests at SUBCLUSTER granularity — its pair grid is (csub, TS),
+        halving/quartering the per-trip VPU work — while DMAs stay whole
+        128-lane blocks.  Extra keys:
+
+        - ``sub_aabb``  (subk, 6, 8, NC8)  per-sibling AABB cull planes,
+          block-indexed (sibling h of block g at grid position of g);
+        - ``sub_plane`` (subk, 5, 8, NC8)  fitted-plane cull rows
+          (normal xyz, offset d0, half-thickness eps): every member vertex
+          of the leaf lies within |p.n - d0| <= eps, so a conservative
+          beam-vs-thickened-plane interval tightens the entry grid far
+          beyond the AABB slab for near-planar leaves (terrain!).  Baked
+          for csize-128 tables too (subk == 1) under the same key.
+
+        ``aabb``/``block``/``tblock``/``gblock`` stay at BLOCK granularity
+        (the classic row kernel and the ring path are unchanged);
+        ``cluster_min/max``/``tri_*`` stay at leaf granularity (the tiled
+        XLA backend culls the tighter leaves directly)."""
         import jax.numpy as jnp
 
         safe = np.maximum(self.order, 0)
@@ -111,6 +136,30 @@ class ClusterTable:
         # multiple of 8 so Mosaic can slice it under (8, 128) tiling.
         nc = self.num_clusters
         c = self.cluster_size
+        # Subcluster packing: subk consecutive leaves share one 128-lane
+        # block (see docstring).  Leaf-granularity arrays are padded to a
+        # whole number of blocks with empty (never-feasible) leaves.
+        subk = {64: 2, 32: 4}.get(c, 1)
+        order = self.order
+        cmin_l = self.cluster_min.astype(np.float32)
+        cmax_l = self.cluster_max.astype(np.float32)
+        bigf = np.float32(3.4028235e38)
+        if subk > 1 and nc % subk:
+            padl = subk - nc % subk
+            order = np.concatenate(
+                [order, np.full(padl * c, -1, order.dtype)])
+            cmin_l = np.concatenate(
+                [cmin_l, np.full((padl, 3), bigf, np.float32)])
+            cmax_l = np.concatenate(
+                [cmax_l, np.full((padl, 3), -bigf, np.float32)])
+            nc = nc + padl
+            safe = np.maximum(order, 0)
+            pad = order < 0
+            tri_id = np.where(pad, -1, safe).astype(np.int32)
+            mesh = np.where(pad, -1,
+                            np.asarray(tri_mesh)[safe]).astype(np.int32)
+        ncg = nc // subk     # number of 128-lane DMA blocks
+        lanes = c * subk     # block lane width (128 when subk > 1)
         v1h = permh(tri_v1)
         e1h = permh(tri_e1)
         e2h = permh(tri_e2)
@@ -118,7 +167,7 @@ class ClusterTable:
         m1n = np.cross(v1h, e2h)
         m2 = np.cross(e1h, v1h)
         c0 = np.sum(v1h * nrm, axis=-1)
-        block = np.zeros((24, nc, c), np.float32)
+        block = np.zeros((24, ncg, lanes), np.float32)
         rows = (
             [nrm[:, k] for k in range(3)]
             + [m1n[:, k] for k in range(3)]
@@ -128,19 +177,19 @@ class ClusterTable:
             + [c0]
         )
         for i, r in enumerate(rows):
-            block[i] = r.reshape(nc, c)
-        block[16] = tri_id.reshape(nc, c).view(np.float32)
-        block[17] = mesh.reshape(nc, c).view(np.float32)
-        # Rows 18-23: the cluster's own AABB (min xyz, max xyz) replicated
+            block[i] = r.reshape(ncg, lanes)
+        block[16] = tri_id.reshape(ncg, lanes).view(np.float32)
+        block[17] = mesh.reshape(ncg, lanes).view(np.float32)
+        # Rows 18-23: the block's own AABB (min xyz, max xyz) replicated
         # across lanes — rides along with the geometry DMA so the fused
         # kernel can run a per-ray slab pretest and skip the whole
         # Möller–Trumbore pass for clusters no unresolved ray can improve
         # on (kernels/fused.py).
-        mn_c = self.cluster_min  # (NC, 3)
-        mx_c = self.cluster_max
+        mn_g = cmin_l.reshape(ncg, subk, 3).min(axis=1)  # (NCG, 3)
+        mx_g = cmax_l.reshape(ncg, subk, 3).max(axis=1)
         for k3 in range(3):
-            block[18 + k3] = mn_c[:, k3:k3 + 1]
-            block[21 + k3] = mx_c[:, k3:k3 + 1]
+            block[18 + k3] = mn_g[:, k3:k3 + 1]
+            block[21 + k3] = mx_g[:, k3:k3 + 1]
         block = np.ascontiguousarray(block.transpose(1, 0, 2))
 
         # MXU-path coefficient table (kernels/fused.py, mxu=True): per
@@ -154,12 +203,13 @@ class ClusterTable:
         # Row 16 carries [tid | tmesh | 0 | 0] as i32 bits.
         gblock = None
         if build_gblock:
-            gblock = np.zeros((24, 4 * c, nc), np.float32)
+            gc = lanes
+            gblock = np.zeros((24, 4 * gc, ncg), np.float32)
 
             def gcol(q, rows3, vals):  # vals (T, 3) -> rows3 of col block q
                 for k3 in range(3):
-                    gblock[rows3 + k3, q * c:(q + 1) * c] = (
-                        vals[:, k3].reshape(nc, c).transpose(1, 0))
+                    gblock[rows3 + k3, q * gc:(q + 1) * gc] = (
+                        vals[:, k3].reshape(ncg, gc).transpose(1, 0))
 
             gcol(0, 0, nrm)
             gcol(1, 0, m1n)
@@ -167,13 +217,13 @@ class ClusterTable:
             gcol(2, 0, m2)
             gcol(2, 3, e1h)
             gcol(3, 6, -nrm)
-            gblock[9, 3 * c:4 * c] = c0.reshape(nc, c).transpose(1, 0)
-            gblock[16, 0:c] = tri_id.reshape(nc, c).view(np.float32).T
-            gblock[16, c:2 * c] = mesh.reshape(nc, c).view(np.float32).T
-            # Rows 18-23: cluster AABB replicated across lanes (see block).
+            gblock[9, 3 * gc:4 * gc] = c0.reshape(ncg, gc).transpose(1, 0)
+            gblock[16, 0:gc] = tri_id.reshape(ncg, gc).view(np.float32).T
+            gblock[16, gc:2 * gc] = mesh.reshape(ncg, gc).view(np.float32).T
+            # Rows 18-23: block AABB replicated across lanes (see block).
             for k3 in range(3):
-                gblock[18 + k3] = mn_c[:, k3:k3 + 1].T
-                gblock[21 + k3] = mx_c[:, k3:k3 + 1].T
+                gblock[18 + k3] = mn_g[:, k3:k3 + 1].T
+                gblock[21 + k3] = mx_g[:, k3:k3 + 1].T
             gblock = np.ascontiguousarray(gblock.transpose(2, 0, 1))
 
         # Fused-kernel cull tables (kernels/fused.py): cluster AABB planes
@@ -182,19 +232,72 @@ class ClusterTable:
         # dense VPU shape.  Padding columns get +BIG bounds; the kernel
         # additionally masks them by flat index >= NC.
         big = np.float32(3.4028235e38)
-        nc8 = max(128, ((-(-nc // 8) + 127) // 128) * 128)
+        nc8 = max(128, ((-(-ncg // 8) + 127) // 128) * 128)
         aabb = np.full((6, 8 * nc8), big, np.float32)
-        aabb[0:3, :nc] = self.cluster_min.T
-        aabb[3:6, :nc] = self.cluster_max.T
+        aabb[0:3, :ncg] = mn_g.T
+        aabb[3:6, :ncg] = mx_g.T
         aabb = aabb.reshape(6, 8, nc8)
-        root_min = self.cluster_min.min(axis=0)
-        root_max = self.cluster_max.max(axis=0)
+        root_min = cmin_l.min(axis=0)
+        root_max = cmax_l.max(axis=0)
         diag = np.float32(np.max(root_max - root_min))
         margin = np.float32(1e-3) * diag + np.float32(1e-4)
         root = np.zeros((1, 8), np.float32)
         root[0, 0:3] = root_min
         root[0, 3:6] = root_max
         root[0, 6] = margin
+
+        # Per-SIBLING cull tables, block-indexed (sibling h of block g at
+        # grid position of g): the tlane kernel culls/orders/tests at
+        # subcluster granularity (docstring).  Only baked when subk > 1 —
+        # for csize-128 tables the kernel reads ``aabb`` itself.
+        sub_aabb = None
+        if subk > 1:
+            sub_aabb = np.full((subk, 6, 8 * nc8), big, np.float32)
+            for h in range(subk):
+                sub_aabb[h, 0:3, :ncg] = cmin_l[h::subk].T
+                sub_aabb[h, 3:6, :ncg] = cmax_l[h::subk].T
+            sub_aabb = sub_aabb.reshape(subk, 6, 8, nc8)
+
+        # Fitted-plane cull rows per LEAF (normal xyz, offset d0,
+        # half-thickness eps): the smallest-covariance-eigenvector plane of
+        # the leaf's member vertices; eps covers every vertex (computed in
+        # f64, padded by a diag-relative slack to swallow the kernel's f32
+        # interval rounding).  Near-planar leaves (terrain, walls) get
+        # entry intervals far tighter than their AABB slab — the entry grid
+        # intersects both (kernels/fused.py::_entry_grid plane path).
+        sub_plane = None
+        if build_plane:
+            p3 = np.stack([v1h, v1h + e1h, v1h + e2h], axis=1)
+            p3 = p3.astype(np.float64).reshape(nc, c * 3, 3)
+            memb = np.repeat((order >= 0).reshape(nc, c), 3, axis=1)
+            w = memb.astype(np.float64)
+            cnt = np.maximum(w.sum(1), 1.0)
+            mean = (p3 * w[..., None]).sum(1) / cnt[:, None]
+            dctr = (p3 - mean[:, None, :]) * w[..., None]
+            cov = np.einsum("npk,npl->nkl", dctr, dctr)
+            _evals, evec = np.linalg.eigh(cov)
+            nrm_pl = evec[:, :, 0]  # min-variance direction, unit length
+            proj = np.einsum("npk,nk->np", p3, nrm_pl)
+            pmin = np.where(memb, proj, np.inf).min(1)
+            pmax = np.where(memb, proj, -np.inf).max(1)
+            empty = ~memb.any(1)
+            pmin = np.where(empty, 0.0, pmin)
+            pmax = np.where(empty, 0.0, pmax)
+            d0 = (pmin + pmax) * 0.5
+            half = (pmax - pmin) * 0.5
+            eps = half * (1.0 + 1e-4) + 1e-5 * float(diag) + 1e-30
+            # Empty leaves: a never-constraining plane (their AABB is
+            # already infeasible); padding grid columns stay all-zero,
+            # which the interval logic treats as unconstrained.
+            nrm_pl = np.where(empty[:, None], [0.0, 0.0, 1.0], nrm_pl)
+            d0 = np.where(empty, 0.0, d0)
+            eps = np.where(empty, float(big), eps)
+            sub_plane = np.zeros((subk, 5, 8 * nc8), np.float32)
+            prows = np.concatenate(
+                [nrm_pl.T, d0[None, :], eps[None, :]]).astype(np.float32)
+            for h in range(subk):
+                sub_plane[h, :, :ncg] = prows[:, h::subk]
+            sub_plane = sub_plane.reshape(subk, 5, 8, nc8)
 
         # Geometry for the tlane kernel (kernels/fused.py _tlane_kernel):
         # the same 24 semantic channels as ``block``, zero-padded to 32
@@ -208,7 +311,7 @@ class ClusterTable:
         tblock = None
         if build_tblock:
             tblock = np.concatenate(
-                [block, np.zeros((nc, 8, c), np.float32)], axis=1)
+                [block, np.zeros((ncg, 8, lanes), np.float32)], axis=1)
 
         # NOTE: the fused kernel's uvt mode returns the winner's triangle
         # id as an exact f32 VALUE, which requires ids < 2^24 — enforced at
@@ -217,12 +320,12 @@ class ClusterTable:
         # have no such limit, and >HBM scenes must still bake.
 
         out = {
-            "cluster_min": jnp.asarray(self.cluster_min),
-            "cluster_max": jnp.asarray(self.cluster_max),
+            "cluster_min": jnp.asarray(cmin_l),
+            "cluster_max": jnp.asarray(cmax_l),
             "aabb": jnp.asarray(aabb),
             "root": jnp.asarray(root),
-            "root_min": jnp.asarray(self.cluster_min.min(axis=0)),
-            "root_max": jnp.asarray(self.cluster_max.max(axis=0)),
+            "root_min": jnp.asarray(root_min),
+            "root_max": jnp.asarray(root_max),
             "tri_id": jnp.asarray(tri_id),
             "tri_v1": perm(tri_v1),
             "tri_e1": perm(tri_e1),
@@ -235,6 +338,10 @@ class ClusterTable:
             out["gblock"] = jnp.asarray(gblock)
         if tblock is not None:
             out["tblock"] = jnp.asarray(tblock)
+        if sub_aabb is not None:
+            out["sub_aabb"] = jnp.asarray(sub_aabb)
+        if sub_plane is not None:
+            out["sub_plane"] = jnp.asarray(sub_plane)
         return out
 
 

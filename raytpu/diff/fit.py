@@ -177,7 +177,11 @@ def rebuild_accel(scene: FlatScene, params: Dict,
     mids = np.asarray(scene.tri_mesh)
     valid = np.asarray(scene.tri_valid)
     v = np.stack([v1, v1 + e1, v1 + e2], axis=1)
-    csize = scene.clusters["block"].shape[2]
+    # LEAF granularity, not block lanes: subcluster bakes pack subk leaves
+    # per 128-lane block, so block.shape[2] is the lane width, not the
+    # cluster size (accel/clusters.py as_device_arrays docstring).
+    cl = scene.clusters
+    csize = cl["tri_v1"].shape[0] // cl["cluster_min"].shape[0]
     from raytpu.accel.clusters import build_clusters
 
     ct = build_clusters(v, cluster_size=csize, valid=valid,
@@ -186,8 +190,9 @@ def rebuild_accel(scene: FlatScene, params: Dict,
     # scene did not have would change the pytree structure and retrace the
     # compiled fit step (the rebuild_every contract).
     newcl = ct.as_device_arrays(v1, e1, e2, sn, mids,
-                                build_gblock="gblock" in scene.clusters,
-                                build_tblock="tblock" in scene.clusters)
+                                build_gblock="gblock" in cl,
+                                build_tblock="tblock" in cl,
+                                build_plane="sub_plane" in cl)
     return scene.replace(clusters=newcl)
 
 

@@ -77,6 +77,13 @@ def shard_scene_clusters(flat, mesh: Mesh) -> dict:
     cmax = np.asarray(cl["cluster_max"])
     block = np.asarray(cl["block"])
     nc, _, csize = block.shape
+    if cmin.shape[0] != nc:
+        # Subcluster bake: cluster_min/max are at LEAF granularity while
+        # blocks pack subk leaves per 128 lanes — the ring's in-shard cull
+        # runs at block granularity, so group-reduce the leaf AABBs.
+        sk = cmin.shape[0] // nc
+        cmin = cmin.reshape(nc, sk, 3).min(axis=1)
+        cmax = cmax.reshape(nc, sk, 3).max(axis=1)
     ncs = -(-nc // n)
     big = np.float32(3.4028235e38)
     margin = float(np.asarray(cl["root"])[0, 6])
@@ -331,30 +338,17 @@ def shard_scene_shade(flat, mesh: Mesh) -> dict:
     return {"shade": arr, "rows_per_shard": ts, "n_shards": n}
 
 
-def gather_rows_ring(shade: dict, ids, mesh: Mesh):
-    """Resolve shade rows for per-ray triangle ids from ring shards.
-
-    The winner-resolution pass the module docstring deferred: the (R,)
-    ``ids`` (original triangle ids; negative = none → zero row) rotate
-    around the ring with a (R, 32) accumulator; each device contributes
-    the rows it owns.  What rides ICI is ids + rows (~132 B/ray/hop) —
-    the shade table itself never moves."""
+def _ring_gather_impl(shade_arr, ids_p, mesh: Mesh, ts: int):
+    """Forward ring pass: (N*chunk,) padded ids -> (N*chunk, K) rows."""
     axis = mesh.axis_names[0]
     n = mesh.size
-    ts = shade["rows_per_shard"]
-    f32, i32 = jnp.float32, jnp.int32
-    r = ids.shape[0]
-    chunk = -(-r // n)
-    pad = chunk * n - r
-    ids_p = jnp.asarray(ids, i32)
-    if pad:
-        ids_p = jnp.concatenate([ids_p, jnp.full((pad,), -1, i32)])
+    f32 = jnp.float32
     spec = P(axis)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
              out_specs=spec, check_vma=False)
     def ring(sh, ids_):
-        sh = sh[0]  # (Ts, 32)
+        sh = sh[0]  # (Ts, K)
         base = jax.lax.axis_index(axis) * ts
         acc = jnp.zeros((ids_.shape[0], sh.shape[1]), f32)
         state = (ids_, acc)
@@ -369,7 +363,89 @@ def gather_rows_ring(shade: dict, ids, mesh: Mesh):
                 lambda x: jax.lax.ppermute(x, axis, perm), (ids2, acc2))
         return state[1]
 
-    out = ring(shade["shade"], ids_p)
+    return ring(shade_arr, ids_p)
+
+
+def _ring_gather_bwd_impl(ct, ids_p, mesh: Mesh, ts: int):
+    """Reverse ring pass: cotangent rows travel back to their OWNER shard.
+
+    Each device watches all ray chunks go by (same ring rotation as the
+    forward) and scatter-adds the cotangents of ids it owns into its local
+    (Ts, K) table — the exact adjoint of the forward's "contribute the
+    rows you own".  What rides ICI is ids + cotangent rows, never the
+    table: the >HBM property holds in reverse mode too."""
+    axis = mesh.axis_names[0]
+    n = mesh.size
+    f32 = jnp.float32
+    spec = P(axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=spec, check_vma=False)
+    def ring(ct_, ids_):
+        ct0 = ct_  # (chunk, K) this device's rays' cotangents
+        base = jax.lax.axis_index(axis) * ts
+        acc = jnp.zeros((1, ts, ct0.shape[1]), f32)
+        state = (ids_, ct0)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        for _ in range(n):
+            ids2, ct2 = state
+            local = ids2 - base
+            mine = (local >= 0) & (local < ts)
+            contrib = jnp.where(mine[:, None], ct2, 0.0)
+            acc = acc.at[0, jnp.clip(local, 0, ts - 1)].add(contrib)
+            state = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, perm), (ids2, ct2))
+        return acc
+
+    return ring(ct, ids_p)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ring_gather_diff(shade_arr, ids_p, mesh, ts):
+    return _ring_gather_impl(shade_arr, ids_p, mesh, ts)
+
+
+def _ring_gather_fwd(shade_arr, ids_p, mesh, ts):
+    return _ring_gather_impl(shade_arr, ids_p, mesh, ts), ids_p
+
+
+def _ring_gather_bwd(mesh, ts, ids_p, ct):
+    import numpy as onp
+
+    ct_shade = _ring_gather_bwd_impl(ct, ids_p, mesh, ts)
+    return ct_shade, onp.zeros(ids_p.shape, dtype=jax.dtypes.float0)
+
+
+_ring_gather_diff.defvjp(_ring_gather_fwd, _ring_gather_bwd)
+
+
+def gather_rows_ring(shade: dict, ids, mesh: Mesh,
+                     differentiable: bool = False):
+    """Resolve shade rows for per-ray triangle ids from ring shards.
+
+    The winner-resolution pass: the (R,) ``ids`` (original triangle ids;
+    negative = none → zero row) rotate around the ring with a (R, 32)
+    accumulator; each device contributes the rows it owns.  What rides ICI
+    is ids + rows (~132 B/ray/hop) — the shade table itself never moves.
+
+    ``differentiable``: route through the custom-VJP twin whose backward
+    ppermutes cotangent rows back to their owner shards and scatter-adds
+    locally (``_ring_gather_bwd_impl``) — this is what makes the
+    differentiable wavefront (which reads triangle data ONLY through the
+    injected gather) work on >HBM ring scenes."""
+    n = mesh.size
+    ts = shade["rows_per_shard"]
+    i32 = jnp.int32
+    r = ids.shape[0]
+    chunk = -(-r // n)
+    pad = chunk * n - r
+    ids_p = jnp.asarray(ids, i32)
+    if pad:
+        ids_p = jnp.concatenate([ids_p, jnp.full((pad,), -1, i32)])
+    if differentiable:
+        out = _ring_gather_diff(shade["shade"], ids_p, mesh, ts)
+    else:
+        out = _ring_gather_impl(shade["shade"], ids_p, mesh, ts)
     return out.reshape(n * chunk, -1)[:r]
 
 

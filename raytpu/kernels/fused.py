@@ -137,7 +137,7 @@ def _finite_and_cap_lm(root_ref, o_rows, d_rows, tmax_in):
     return finite, jnp.minimum(tmax_in, cap)
 
 
-def _entry_grid(aabb, valid_col, bounds, wcap):
+def _entry_grid(aabb, valid_col, bounds, wcap, plane=None):
     """Conservative entry bounds for the beam with bounds from
     ``_tile_bounds_lm``.
 
@@ -145,7 +145,20 @@ def _entry_grid(aabb, valid_col, bounds, wcap):
     per axis, the conservative entry/exit of t >= 0 with t*d in
     [s_lo, s_hi] for some d in [d_lo, d_hi]; only per-tile scalar
     reciprocals.  ``wcap``: prune clusters whose entry cannot beat any
-    of the masked rays' current best (INF entry = infeasible)."""
+    of the masked rays' current best (INF entry = infeasible).
+
+    ``plane`` (optional, rows ``n xyz, d0, eps`` — the fitted-plane bake
+    of accel/clusters.py): additionally intersect with the conservative
+    interval of t where a beam ray can lie within the cluster's
+    eps-thickened plane.  Same case analysis as a slab axis, with the
+    per-cluster direction-dot interval [g_lo, g_hi] playing d and the
+    eps-padded offset interval [A, B] playing s — for near-planar
+    clusters this interval is FAR tighter than the AABB slab, raising
+    entries (faster per-ray resolution, better ordering) and killing
+    feasibility outright for beams that only graze the cluster's empty
+    AABB corners.  Exact: any triangle point of the cluster satisfies
+    |p.n - d0| <= eps by construction, so the combined t_lo remains a
+    true lower bound on any hit distance in the cluster."""
     f32 = jnp.float32
     o_min, o_max, d_min, d_max, any_m = bounds
     shape = valid_col.shape
@@ -180,6 +193,47 @@ def _entry_grid(aabb, valid_col, bounds, wcap):
                                    hi_same))
         t_lo = jnp.maximum(t_lo, lo_k)
         t_hi = jnp.minimum(t_hi, hi_k)
+    if plane is not None:
+        n3 = (plane[0], plane[1], plane[2])
+        d0 = plane[3]
+        eps = plane[4]
+        g_lo = jnp.zeros(shape, f32)
+        g_hi = jnp.zeros(shape, f32)
+        o_dlo = jnp.zeros(shape, f32)
+        o_dhi = jnp.zeros(shape, f32)
+        for k in range(3):
+            a = n3[k] * d_min[k]
+            b = n3[k] * d_max[k]
+            g_lo = g_lo + jnp.minimum(a, b)
+            g_hi = g_hi + jnp.maximum(a, b)
+            c1 = n3[k] * o_min[k]
+            c2 = n3[k] * o_max[k]
+            o_dlo = o_dlo + jnp.minimum(c1, c2)
+            o_dhi = o_dhi + jnp.maximum(c1, c2)
+        A = (d0 - o_dhi) - eps  # target interval of t*(d.n)
+        B = (d0 - o_dlo) + eps
+        inv_ghi = 1.0 / jnp.where(g_hi == 0.0, f32(1.0), g_hi)
+        inv_glo = 1.0 / jnp.where(g_lo == 0.0, f32(1.0), g_lo)
+        hi_pos = g_hi > 0.0
+        lo_pos = g_lo > 0.0
+        lo_neg = g_lo < 0.0
+        hi_neg = g_hi < 0.0
+        pos = A > 0.0
+        neg = B < 0.0
+        lo_p = jnp.where(
+            pos,
+            jnp.where(hi_pos, A * inv_ghi, INF),
+            jnp.where(neg, jnp.where(lo_neg, B * inv_glo, INF),
+                      f32(0.0)),
+        )
+        hi_same = jnp.where(lo_pos, B * inv_glo,
+                            jnp.where(hi_neg, A * inv_ghi, INF))
+        hi_p = jnp.where(pos, jnp.where(lo_pos, B * inv_glo, INF),
+                         jnp.where(neg,
+                                   jnp.where(hi_neg, A * inv_ghi, INF),
+                                   hi_same))
+        t_lo = jnp.maximum(t_lo, lo_p)
+        t_hi = jnp.minimum(t_hi, hi_p)
     feasible = (t_lo <= t_hi) & (t_lo < INF) & (t_lo < wcap) & valid_col
     return jnp.where(feasible & any_m, t_lo, INF)
 
@@ -834,15 +888,8 @@ def _prepick_kernel(
 def _tlane_kernel(
     root_ref,  # (1, 8) SMEM
     rays,      # (ROWS, TS) VMEM packed rays (lane-major rows)
-    aabb,      # (6, 8, NC8) VMEM cluster AABBs
-    block_hbm,  # (NC, 32, C) ANY padded cluster geometry (tblock)
-    out_t, out_code, out_uvt, out_res, out_iters,
-    ent,       # (8, NC8) VMEM scratch
-    bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref, bi_ref,  # (1, TS)
-    qk, qv,    # (NGRP*K,) SMEM DMA queue
-    buf,       # (NGRP*K, 32, C) VMEM
-    sem,       # DMA semaphores
-    *,
+    saabb,     # (SUBK, 6, 8, NC8) VMEM per-sibling AABB cull planes
+    *args,     # [splane (SUBK, 5, 8, NC8)] block_hbm, outputs, scratch
     cull,
     any_hit: bool,
     nc: int,
@@ -851,16 +898,18 @@ def _tlane_kernel(
     has_ignore: bool = True,
     max_trips: int = 0,
     uvt: bool = False,
+    subk: int = 1,
+    use_plane: bool = False,
 ):
     """Transposed-layout walk: pair matrix (C, TS), rays in LANES.
 
-    Same walk as ``_fused_kernel`` (identical pick order, strict-min
-    update, settle proof, tie-break by slot code), but the Möller–Trumbore
-    pass runs on a (C, TS) grid — triangle t in sublane t, ray r in lane r.
-    Each fetched (32, C) geometry block is flipped to (C, 32) with ONE
-    hardware transpose per trip (DMA slices must stay 128-lane-aligned, so
-    the transposed form cannot be stored in HBM).  What the layout buys on
-    a VPU:
+    Same walk as ``_fused_kernel`` (strict-min update, settle proof,
+    tie-break by slot code), but the Möller–Trumbore pass runs on a
+    (C, TS) grid — triangle t in sublane t, ray r in lane r.  Each fetched
+    (32, 128) geometry block is flipped to (128, 32) with ONE hardware
+    transpose per trip (DMA slices must stay 128-lane-aligned, so the
+    transposed form cannot be stored in HBM).  What the layout buys on a
+    VPU:
 
     - every per-ray reduction (min dist, winner code, the uvt one-hot
       sums) runs ACROSS SUBLANES: a log-tree of full-width vector ops
@@ -873,15 +922,41 @@ def _tlane_kernel(
       waste measured at ~15 ms per 1M-ray query (tools/r4lab3-5);
     - outputs write straight from the (1, TS) state — no relayouts.
 
-    Classic-walk-only knobs (mxu, pretest, recull) are not carried; the
-    exact results are bitwise the classic kernel's (same arithmetic, same
-    order — only the layout differs).
+    **Subclusters** (``subk`` > 1, r5): blocks pack ``subk`` spatial
+    leaves of ``csub = 128 // subk`` triangles (accel/clusters.py);
+    culling and entry ordering run per LEAF (``saabb``/``splane`` grids),
+    the walk picks whole BLOCKS by their min-sibling entry, and each
+    sibling's (csub, TS) pass — HALF/QUARTER the per-trip vregs, only
+    possible in this layout where triangles sit on 8-granular sublanes —
+    runs behind a ``pl.when`` gate that skips it when its own entry bound
+    cannot beat any unresolved ray (``capmax``).  Exact: a skipped
+    sibling provably contains no improving hit for any unresolved ray,
+    resolved rays are final, and the settle proof's ``v_next`` is the
+    next block's min-sibling entry, a true lower bound on everything
+    unconsumed.  Equal-t ties between siblings of one block resolve by
+    sibling order, not entry order (same class of documented tie freedom
+    as ``chunk_k``).  ``use_plane``: intersect each leaf's entry interval
+    with its fitted-plane interval (``_entry_grid`` plane path).
+
+    Classic-walk-only knobs (mxu, pretest, recull) are not carried; at
+    subk == 1 without planes the results are bitwise the classic
+    kernel's (same arithmetic, same order — only the layout differs).
     """
+    i_arg = 0
+    splane = None
+    if use_plane:
+        splane = args[0]
+        i_arg = 1
+    (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
+     ent, esub, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref, bi_ref,
+     qk, qv, qs, buf, sem) = args[i_arg:]
+
     ts = rays.shape[1]
     c = buf.shape[2]
+    csub = c // subk
     f32 = jnp.float32
     i32 = jnp.int32
-    nc8 = aabb.shape[2]
+    nc8 = saabb.shape[3]
 
     from raytpu.core.intersect import (det_space_accept,
                                        det_space_accept_within)
@@ -903,10 +978,14 @@ def _tlane_kernel(
     flat_io = row_io * nc8 + col_io
     valid_col = flat_io < nc
 
-    ent[:, :] = _entry_grid(
-        aabb, valid_col,
-        _tile_bounds_lm(finite, (oxr, oyr, ozr), (dxr, dyr, dzr)),
-        tile_tmax)
+    bounds = _tile_bounds_lm(finite, (oxr, oyr, ozr), (dxr, dyr, dzr))
+    e_min = None
+    for h in range(subk):
+        e_h = _entry_grid(saabb[h], valid_col, bounds, tile_tmax,
+                          plane=(splane[h] if use_plane else None))
+        esub[h] = e_h
+        e_min = e_h if e_min is None else jnp.minimum(e_min, e_h)
+    ent[:, :] = e_min
 
     NG = ngrp
     kc = min(k_chunk, nc)
@@ -915,8 +994,9 @@ def _tlane_kernel(
         e = ent[:, :]
         v = jnp.min(e)
         k = jnp.min(jnp.where(e == v, flat_io, i32(nc)))
-        ent[:, :] = jnp.where(flat_io == k, INF, e)
-        return v, k
+        picked = flat_io == k
+        ent[:, :] = jnp.where(picked, INF, e)
+        return v, k, picked
 
     def start_dma(slot, k):
         pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
@@ -928,11 +1008,19 @@ def _tlane_kernel(
 
     def pick_group(grp):
         for j in range(kc):
-            v_j, k_j = pick()
+            slot = grp * kc + j
+            v_j, k_j, picked = pick()
             k_safe = jnp.minimum(k_j, i32(nc - 1))
-            qk[grp * kc + j] = k_safe
-            qv[grp * kc + j] = v_j
-            start_dma(grp * kc + j, k_safe)
+            qk[slot] = k_safe
+            qv[slot] = v_j
+            if subk > 1:
+                # Per-sibling entries ride the queue: the trip gates each
+                # sibling's pass on its OWN bound.  Dummy (exhausted)
+                # picks match no grid cell => all-INF => zero compute.
+                for h in range(subk):
+                    qs[slot * subk + h] = jnp.min(
+                        jnp.where(picked, esub[h], INF))
+            start_dma(slot, k_safe)
 
     for g in range(NG):
         pick_group(g)
@@ -942,7 +1030,7 @@ def _tlane_kernel(
     wy = dzr * oxr - dxr * ozr
     wz = dxr * oyr - dyr * oxr
 
-    sub_row = jax.lax.broadcasted_iota(i32, (c, 1), 0)
+    sub_row = jax.lax.broadcasted_iota(i32, (csub, 1), 0)
 
     bt_ref[:, :] = tmax0
     bc_ref[:, :] = jnp.full((1, ts), -1, i32)
@@ -958,56 +1046,76 @@ def _tlane_kernel(
         grp = jax.lax.rem(i, NG)
         for j in range(kc):
             wait_dma(grp * kc + j, qk[grp * kc + j])
+        # Trip-time cap: the farthest distance any UNRESOLVED ray still
+        # cares about (min of its best and its t bound).  A sibling whose
+        # conservative entry is not below it cannot improve any ray —
+        # skip its whole (csub, TS) pass.  Exact (see docstring).
+        capmax = jnp.max(jnp.where(rs_ref[:, :] > 0.0, f32(-INF),
+                                   jnp.minimum(bt_ref[:, :], tmax0)))
         for j in range(kc):
+            slot = grp * kc + j
             # One hardware transpose flips the fetched (32, C) block to
             # (C, 32): triangles land on sublanes, channels on lanes.
-            g = jnp.transpose(buf[grp * kc + j])  # (C, 32)
-            k_i = qk[grp * kc + j]
-            col = lambda q: g[:, q:q + 1]  # (C, 1)
-            nx, ny, nz = col(0), col(1), col(2)
-            det = dxr * nx + dyr * ny + dzr * nz  # (C, TS)
-            udet = (wx * col(6) + wy * col(7) + wz * col(8)
-                    + dxr * col(3) + dyr * col(4) + dzr * col(5))
-            vdet = (wx * col(12) + wy * col(13) + wz * col(14)
-                    + dxr * col(9) + dyr * col(10) + dzr * col(11))
-            tdet = col(15) - (oxr * nx + oyr * ny + ozr * nz)
+            gt = jnp.transpose(buf[slot])  # (C, 32)
+            k_i = qk[slot]
 
-            if any_hit:
-                okw = det_space_accept_within(det, udet, vdet, tdet,
-                                              tmax0, cull)
-                if has_ignore:
-                    tid = jax.lax.bitcast_convert_type(col(16), i32)
-                    tmesh = jax.lax.bitcast_convert_type(col(17), i32)
-                    okw &= (tid != itri) & (tmesh != imesh)
-                fnd = jnp.any(okw, axis=0, keepdims=True)  # (1, TS)
-                bc_ref[:, :] = jnp.where(fnd, 0, bc_ref[:, :])
+            def do_sib(h, gt=gt, k_i=k_i):
+                g = gt[h * csub:(h + 1) * csub, :]  # (csub, 32) static
+                col = lambda q: g[:, q:q + 1]  # (csub, 1)
+                nx, ny, nz = col(0), col(1), col(2)
+                det = dxr * nx + dyr * ny + dzr * nz  # (csub, TS)
+                udet = (wx * col(6) + wy * col(7) + wz * col(8)
+                        + dxr * col(3) + dyr * col(4) + dzr * col(5))
+                vdet = (wx * col(12) + wy * col(13) + wz * col(14)
+                        + dxr * col(9) + dyr * col(10) + dzr * col(11))
+                tdet = col(15) - (oxr * nx + oyr * ny + ozr * nz)
+
+                if any_hit:
+                    okw = det_space_accept_within(det, udet, vdet, tdet,
+                                                  tmax0, cull)
+                    if has_ignore:
+                        tid = jax.lax.bitcast_convert_type(col(16), i32)
+                        tmesh = jax.lax.bitcast_convert_type(col(17), i32)
+                        okw &= (tid != itri) & (tmesh != imesh)
+                    fnd = jnp.any(okw, axis=0, keepdims=True)  # (1, TS)
+                    bc_ref[:, :] = jnp.where(fnd, 0, bc_ref[:, :])
+                else:
+                    ok = det_space_accept(det, udet, vdet, tdet, cull)
+                    if has_ignore:
+                        tid = jax.lax.bitcast_convert_type(col(16), i32)
+                        tmesh = jax.lax.bitcast_convert_type(col(17), i32)
+                        ok &= (tid != itri) & (tmesh != imesh)
+                    dist = jnp.where(ok, tdet / det, INF)
+                    code = k_i * c + h * csub + sub_row  # (csub, 1)
+                    mint = jnp.min(dist, axis=0, keepdims=True)  # (1, TS)
+                    win = dist == mint
+                    pc = jnp.min(jnp.where(win, code, i32(2 ** 30)),
+                                 axis=0, keepdims=True)
+                    bt = bt_ref[:, :]
+                    upd = mint < bt
+                    bt_ref[:, :] = jnp.where(upd, mint, bt)
+                    bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
+                    if uvt:
+                        one = (code == pc).astype(f32)  # (csub, TS)
+                        tid_f = jax.lax.bitcast_convert_type(
+                            col(16), i32).astype(f32)
+                        sums = lambda q: jnp.sum(one * q, axis=0,
+                                                 keepdims=True)
+                        bu_ref[:, :] = jnp.where(upd, sums(udet),
+                                                 bu_ref[:, :])
+                        bv_ref[:, :] = jnp.where(upd, sums(vdet),
+                                                 bv_ref[:, :])
+                        bd_ref[:, :] = jnp.where(upd, sums(det),
+                                                 bd_ref[:, :])
+                        bi_ref[:, :] = jnp.where(upd, sums(tid_f),
+                                                 bi_ref[:, :])
+
+            if subk > 1:
+                for h in range(subk):
+                    vh = qs[slot * subk + h]
+                    pl.when(vh < capmax)(functools.partial(do_sib, h))
             else:
-                ok = det_space_accept(det, udet, vdet, tdet, cull)
-                if has_ignore:
-                    tid = jax.lax.bitcast_convert_type(col(16), i32)
-                    tmesh = jax.lax.bitcast_convert_type(col(17), i32)
-                    ok &= (tid != itri) & (tmesh != imesh)
-                dist = jnp.where(ok, tdet / det, INF)
-                code = k_i * c + sub_row  # (C, 1)
-                mint = jnp.min(dist, axis=0, keepdims=True)  # (1, TS)
-                win = dist == mint
-                pc = jnp.min(jnp.where(win, code, i32(2 ** 30)),
-                             axis=0, keepdims=True)
-                bt = bt_ref[:, :]
-                upd = mint < bt
-                bt_ref[:, :] = jnp.where(upd, mint, bt)
-                bc_ref[:, :] = jnp.where(upd, pc, bc_ref[:, :])
-                if uvt:
-                    one = (code == pc).astype(f32)  # (C, TS) one-hot
-                    tid_f = jax.lax.bitcast_convert_type(
-                        col(16), i32).astype(f32)
-                    sums = lambda q: jnp.sum(one * q, axis=0,
-                                             keepdims=True)
-                    bu_ref[:, :] = jnp.where(upd, sums(udet), bu_ref[:, :])
-                    bv_ref[:, :] = jnp.where(upd, sums(vdet), bv_ref[:, :])
-                    bd_ref[:, :] = jnp.where(upd, sums(det), bd_ref[:, :])
-                    bi_ref[:, :] = jnp.where(upd, sums(tid_f),
-                                             bi_ref[:, :])
+                pl.when(qv[slot] < capmax)(functools.partial(do_sib, 0))
 
         nxt = jax.lax.rem(i + 1, NG)
         v_next = qv[nxt * kc]
@@ -1058,9 +1166,10 @@ def _tlane_kernel(
                               "has_ignore", "mxu", "mxu_precision",
                               "recull_every", "pretest", "max_trips",
                               "uvt", "prepick", "nbuf", "layout",
-                              "interpret")
+                              "plane", "interpret")
 )
-def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
+def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
+                ts: int = 256,
                 cull=True,
                 any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
                 has_ignore: bool = True, mxu: bool = False,
@@ -1068,6 +1177,7 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
                 recull_every: int = 0, pretest: bool = False,
                 max_trips: int = 0, uvt: bool = False,
                 prepick: int = 0, nbuf: int = 4, layout: str = "row",
+                plane: bool = False,
                 interpret: bool = False):
     """Run the fused kernel over (ROWS, NT*TS) packed rays, ``ts`` per tile.
 
@@ -1101,6 +1211,13 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
     chunk_k = min(chunk_k, nc)
     f32, i32 = jnp.float32, jnp.int32
 
+    base_specs = [
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        # Column slice of the (ROWS, R) pack — no transpose anywhere:
+        # the host-side stack IS the kernel layout.
+        pl.BlockSpec((ROWS, ts), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
     if layout == "t":
         # Transposed (C, TS) pair layout (``block`` must be the tblock
         # bake).  Classic-walk-only knobs have no tlane equivalent.
@@ -1108,12 +1225,34 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
             raise ValueError(
                 "layout='t' is incompatible with mxu/pretest/recull_every/"
                 "prepick")
+        # Subcluster cull tables: saabb (SUBK, 6, 8, NC8) per-sibling AABBs
+        # (None => csize-128 bake; the block-level aabb stands in), splane
+        # fitted-plane rows (None or plane=False => slab-only cull).
+        subk = int(saabb.shape[0]) if saabb is not None else 1
+        use_plane = bool(plane) and splane is not None
+        saabb_eff = (saabb if saabb is not None
+                     else aabb.reshape(1, 6, 8, nc8))
         kernel = functools.partial(
             _tlane_kernel, cull=cull, any_hit=any_hit, nc=nc,
             k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
-            max_trips=max_trips, uvt=uvt)
+            max_trips=max_trips, uvt=uvt, subk=subk, use_plane=use_plane)
+        # Constant index maps: cull tables stay VMEM-resident across grid
+        # steps instead of re-streaming per tile.
+        in_specs = base_specs + [
+            pl.BlockSpec((subk, 6, 8, nc8), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        call_inputs = [root, rays_packed, saabb_eff]
+        if use_plane:
+            in_specs.append(
+                pl.BlockSpec((subk, 5, 8, nc8), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            call_inputs.append(splane)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        call_inputs.append(block)
         scratch = [
-            pltpu.VMEM((8, nc8), f32),   # ent
+            pltpu.VMEM((8, nc8), f32),        # ent (block-level picks)
+            pltpu.VMEM((subk, 8, nc8), f32),  # esub per-sibling entries
             pltpu.VMEM((1, ts), f32),    # bt
             pltpu.VMEM((1, ts), i32),    # bc
             pltpu.VMEM((1, ts), f32),    # rs
@@ -1123,6 +1262,7 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
             pltpu.VMEM((1, ts), f32),    # bi
             pltpu.SMEM((ngrp * chunk_k,), i32),
             pltpu.SMEM((ngrp * chunk_k,), f32),
+            pltpu.SMEM((ngrp * chunk_k * subk,), f32),  # qs sibling bounds
             pltpu.VMEM((ngrp * chunk_k, 32, csize), f32),
             pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
         ]
@@ -1148,6 +1288,12 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
             pltpu.VMEM((nbuf, 24, csize), f32),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ]
+        in_specs = base_specs + [
+            pl.BlockSpec((6, 8, nc8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        call_inputs = [root, rays_packed, aabb, block]
     else:
         kernel = functools.partial(
             _fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
@@ -1170,22 +1316,19 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
             pltpu.VMEM((ngrp * chunk_k, 24, csize), f32),
             pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
         ]
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            # Column slice of the (ROWS, R) pack — no transpose anywhere:
-            # the host-side stack IS the kernel layout.
-            pl.BlockSpec((ROWS, ts), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs = base_specs + [
             # Constant index map: the AABB table stays resident in VMEM
             # across grid steps instead of re-streaming per tile.
             pl.BlockSpec((6, 8, nc8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+        call_inputs = [root, rays_packed, aabb, block]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
         out_specs=[
             # (1, 1, ts) / (1, 4, ts) blocks: Mosaic requires the last two
             # block dims be 8/128-divisible OR equal to the array dims —
@@ -1216,7 +1359,7 @@ def fused_tiles(rays_packed, aabb, root, block, ts: int = 256,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(root, rays_packed, aabb, block)
+    )(*call_inputs)
     t, code, uvt_out, res, iters = outs
     return (t.reshape(nt, ts), code.reshape(nt, ts),
             uvt_out if uvt else None, res.reshape(nt, ts),
@@ -1281,6 +1424,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ngrp: int = NGRP, mxu=None, recull_every: int = 0,
                       pretest: bool = False, phase1_trips: int = 0,
                       prepick: int = 0, nbuf: int = 4, layout=None,
+                      plane=None,
                       return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
@@ -1329,6 +1473,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         raise ValueError(
             "layout='t' requires the tblock bake: flatten the scene with "
             "build_tblock=True")
+    subk = int(cl["sub_aabb"].shape[0]) if "sub_aabb" in cl else 1
     if layout is None:
         # Measured split (tools/r4lab7, v5e): the transposed pair layout
         # wins ~8% on nearest-hit queries (the uvt one-hot sums and winner
@@ -1336,9 +1481,17 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         # occlusion queries (no uvt to save; the per-trip hardware
         # transpose is pure overhead there) — so: tlane for nearest, row
         # for occlusion.  The row layout also remains for the classic-walk
-        # knobs and for bakes without tblock.
-        layout = ("t" if "tblock" in cl and not any_hit and not (
-            mxu or pretest or recull_every or prepick) else "row")
+        # knobs and for bakes without tblock.  Subcluster bakes (subk > 1)
+        # take tlane for BOTH query kinds: the per-sibling (csub, TS)
+        # passes + entry gating only exist there and outweigh the
+        # transpose overhead.
+        layout = ("t" if "tblock" in cl and (subk > 1 or not any_hit)
+                  and not (mxu or pretest or recull_every or prepick)
+                  else "row")
+    if plane is None:
+        # Fitted-plane entry-interval cull: on whenever the bake carries
+        # the rows (tlane-only path; free elsewhere).
+        plane = "sub_plane" in cl
     csize = cl["block"].shape[2]
     if not any_hit and cl["block"].shape[0] * csize >= (1 << 24):
         # uvt mode rides the winner's triangle id through f32 one-hot sums,
@@ -1392,6 +1545,9 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     kw = dict(ts=ts, cull=cull, any_hit=any_hit, chunk_k=chunk_k, ngrp=ngrp,
               has_ignore=has_ignore, mxu=mxu, recull_every=recull_every,
               pretest=pretest, uvt=uvt, layout=layout, interpret=interpret)
+    if layout == "t":
+        kw.update(saabb=cl.get("sub_aabb"), splane=cl.get("sub_plane"),
+                  plane=bool(plane))
     if prepick > 0 and phase1_trips > 0:
         raise ValueError("prepick and phase1_trips are mutually exclusive "
                          "overflow strategies")

@@ -37,7 +37,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
                   cluster_size: int = 128,
                   cluster_method: str = "median",
                   build_gblock: bool = False,
-                  build_tblock: bool = True) -> FlatScene:
+                  build_tblock: bool = True,
+                  build_plane: bool = True) -> FlatScene:
     tri_v = []
     tri_n = []
     tri_uv = []
@@ -215,7 +216,8 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
                                       # the block HBM); pass False for
                                       # scenes near the HBM limit that
                                       # render through row-layout paths.
-                                      build_tblock=build_tblock)
+                                      build_tblock=build_tblock,
+                                      build_plane=build_plane)
             if clusters is not None
             else None
         ),

@@ -124,7 +124,8 @@ class Scene:
                 cluster_size: int = 128,
                 cluster_method: str = "median",
                 build_gblock: bool = False,
-                build_tblock: bool = True) -> "FlatScene":
+                build_tblock: bool = True,
+                build_plane: bool = True) -> "FlatScene":
         from raytpu.scene.flatten import flatten_scene
 
         return flatten_scene(
@@ -139,6 +140,7 @@ class Scene:
             cluster_method=cluster_method,
             build_gblock=build_gblock,
             build_tblock=build_tblock,
+            build_plane=build_plane,
         )
 
 

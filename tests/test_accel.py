@@ -500,3 +500,114 @@ class TestReverseCull:
                                     tile_size=32, t_max=tmax, any_hit=True,
                                     interpret=True)
         np.testing.assert_array_equal(np.asarray(h_rev_f.hit), occ_fwd)
+
+
+class TestSubclusterKernel:
+    """r5 subcluster tlane walk (kernels/fused.py::_tlane_kernel subk > 1):
+    blocks pack 128 // csize spatial leaves; culling/ordering/testing run
+    at leaf granularity with optional fitted-plane entry intervals.  Every
+    result must match brute exactly — the sibling gate and the plane cull
+    are conservative-exact controls."""
+
+    @pytest.fixture(scope="class", params=[64, 32])
+    def flatsub(self, request):
+        return sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=request.param
+        )
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    @pytest.mark.parametrize("plane", [False, True])
+    @pytest.mark.parametrize("cull", [True, False])
+    def test_nearest_matches_brute(self, flatsub, rng, cull, plane):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 128)
+        hb = nearest_hit_brute(flatsub, o, d, cull=cull, block=128)
+        hf = nearest_hit_fused(flatsub, o, d, cull=cull, tile_size=32,
+                               layout="t", plane=plane, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.hit),
+                                      np.asarray(hf.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(hb.t)[m],
+                                   np.asarray(hf.t)[m], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hb.tri)[m],
+                                      np.asarray(hf.tri)[m])
+        np.testing.assert_allclose(np.asarray(hb.u)[m],
+                                   np.asarray(hf.u)[m], atol=1e-5)
+
+    @pytest.mark.parametrize("plane", [False, True])
+    def test_any_hit_with_tmax(self, flatsub, rng, plane):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 64)
+        t_max = jnp.full((64,), 18.0, jnp.float32)
+        hb = nearest_hit_brute(flatsub, o, d, block=128)
+        hf = nearest_hit_fused(flatsub, o, d, tile_size=32, t_max=t_max,
+                               any_hit=True, layout="t", plane=plane,
+                               interpret=True)
+        occluded_ref = np.asarray(hb.hit) & (np.asarray(hb.t) < 18.0)
+        np.testing.assert_array_equal(np.asarray(hf.hit), occluded_ref)
+
+    def test_ignore_and_nonfinite(self, flatsub, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 32)
+        o = o.at[3, 0].set(jnp.nan)
+        hb = nearest_hit_brute(flatsub, o, d, block=128)
+        itri = jnp.where(jnp.arange(32) % 2 == 0, hb.tri, -1).astype(
+            jnp.int32)
+        hb2 = nearest_hit_brute(flatsub, o, d, ignore_tri=itri, block=128)
+        hf = nearest_hit_fused(flatsub, o, d, ignore_tri=itri,
+                               tile_size=32, layout="t", interpret=True)
+        assert not bool(hf.hit[3])
+        np.testing.assert_array_equal(np.asarray(hb2.hit),
+                                      np.asarray(hf.hit))
+
+    def test_auto_layout_picks_tlane_for_any_hit(self, flatsub):
+        """Subcluster bakes route occlusion queries through tlane too
+        (layout=None auto) — check the auto path stays exact."""
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        rng = np.random.default_rng(7)
+        o, d = self._rays(rng, 64)
+        hb = nearest_hit_brute(flatsub, o, d, block=128)
+        hf = nearest_hit_fused(flatsub, o, d, tile_size=32, any_hit=True,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(hf.hit),
+                                      np.asarray(hb.hit))
+
+    def test_plane_bake_covers_vertices(self, flatsub):
+        """eps must bound every member vertex's plane deviation (the
+        exactness precondition of the plane cull)."""
+        cl = flatsub.clusters
+        sp = np.asarray(cl["sub_plane"])
+        v1 = np.asarray(cl["tri_v1"])
+        e1 = np.asarray(cl["tri_e1"])
+        e2 = np.asarray(cl["tri_e2"])
+        tid = np.asarray(cl["tri_id"])
+        nc_leaf = cl["cluster_min"].shape[0]
+        csz = v1.shape[0] // nc_leaf
+        sk, _, _, nc8 = sp.shape
+        for leaf in range(nc_leaf):
+            g, h = leaf // sk, leaf % sk
+            r, ccol = g // nc8, g % nc8
+            n = sp[h, 0:3, r, ccol]
+            d0 = sp[h, 3, r, ccol]
+            eps = sp[h, 4, r, ccol]
+            sl = slice(leaf * csz, (leaf + 1) * csz)
+            m = tid[sl] >= 0
+            if not m.any():
+                continue
+            pts = np.concatenate(
+                [v1[sl][m], (v1 + e1)[sl][m], (v1 + e2)[sl][m]])
+            assert np.abs(pts @ n - d0).max() <= eps
