@@ -32,16 +32,29 @@ import numpy as np
 TARGET_RAYS_PER_S = 200e6  # BASELINE.json north_star
 
 
-def build_scene(n_tris: int):
+def build_scene(n_tris: int, textured: bool = False, tex_size: int = 128):
     from raytpu.scene.lights import SpotLight
     from raytpu.scene.procedural import subdivided_plane
     from raytpu.scene.types import Material, Scene, SceneObject
 
+    mat = Material(reflectiveness=0.0, diffuse_color=(0.7, 0.6, 0.5, 1.0))
+    if textured:
+        # Small atlas => heavy texel-id collisions across bilinear
+        # footprints — the contended case the texture-gradient scatter
+        # must survive (SURVEY.md §7 hard parts).
+        yy, xx = np.meshgrid(np.arange(tex_size), np.arange(tex_size),
+                             indexing="ij")
+        checker = (((xx // 8) + (yy // 8)) % 2).astype(np.uint8)
+        tex = np.stack([checker * 180 + 40, checker * 120 + 60,
+                        np.full_like(checker, 90)], axis=-1).astype(np.uint8)
+        mat = Material(reflectiveness=0.0, use_texture=True, texture=tex,
+                       diffuse_color=(0.7, 0.6, 0.5, 1.0))
     divisions = max(8, int(round((n_tris / 2) ** 0.5)))
     mesh = subdivided_plane(
         size=(40.0, 40.0),
         divisions=divisions,
-        material=Material(reflectiveness=0.0, diffuse_color=(0.7, 0.6, 0.5, 1.0)),
+        material=mat,
+        uv_scale=4.0 if textured else 1.0,
         height_fn=lambda x, z: 2.0 * np.sin(x * 0.7) * np.cos(z * 0.7)
         + 0.5 * np.sin(x * 3.1) * np.sin(z * 2.3),
     )
@@ -64,12 +77,17 @@ def main():
     res = int(os.environ.get("BENCH_RES", 1024))
     reps = int(os.environ.get("BENCH_REPS", 4))
     backend = os.environ.get("BENCH_INTERSECTOR", "pallas")
+    # Cluster granularity of the fused-kernel bake (128 = one leaf per
+    # 128-lane block; 64/32 pack subk spatial leaves per block with
+    # per-sibling culling + fitted-plane rows — kernels/fused.py r5).
+    csize = int(os.environ.get("BENCH_CSIZE", 128))
 
     t0 = time.perf_counter()
     scene, true_tris = build_scene(n_tris)
     flat = scene.flatten(
         build_octree=backend == "octree", leaf_threshold=50, max_depth=12,
         build_clusters=backend in ("tiled", "pallas"),
+        cluster_size=csize,
     )
     setup_s = time.perf_counter() - t0
 
@@ -126,13 +144,21 @@ def main():
     if os.environ.get("BENCH_BACKWARD", "1") == "1":
         backward_rays_per_s = bench_backward(flat, cfg, sync)
 
+    backward_texture_rays_per_s = None
+    if os.environ.get("BENCH_BACKWARD_TEXTURE", "1") == "1":
+        scene_t, _ = build_scene(n_tris, textured=True)
+        flat_t = scene_t.flatten(build_octree=False, cluster_size=csize)
+        backward_texture_rays_per_s = bench_backward(
+            flat_t, cfg, sync, fields="texture")
+
     print(
         f"# device={jax.devices()[0].device_kind} tris={true_tris} "
         f"res={res} backend={backend} setup={setup_s:.1f}s "
         f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
         f"times_ms={[round(t * 1e3, 1) for t in times]} "
         f"nonblack={hit_frac:.3f} "
-        f"backward={backward_rays_per_s}",
+        f"backward={backward_rays_per_s} "
+        f"backward_tex={backward_texture_rays_per_s}",
         file=sys.stderr,
     )
     out = {
@@ -143,12 +169,22 @@ def main():
     }
     if backward_rays_per_s is not None:
         out["backward_rays_per_s"] = round(backward_rays_per_s)
+    if backward_texture_rays_per_s is not None:
+        out["backward_texture_rays_per_s"] = round(
+            backward_texture_rays_per_s)
     print(json.dumps(out))
 
 
-def bench_backward(flat, cfg, sync):
-    """rays/s for one differentiable-render gradient step (pixel MSE,
-    GEOMETRY params) — BASELINE.json's "backward rays/s" metric.
+def bench_backward(flat, cfg, sync, fields: str = "geometry"):
+    """rays/s for one differentiable-render gradient step (pixel MSE) —
+    BASELINE.json's "backward rays/s" metric.
+
+    ``fields="geometry"``: GEOMETRY params (vertex/edge tables; engages
+    the geometry-pruned (T, 12) gather VJP).  ``fields="texture"``: the
+    texture ATLAS is the trainable — gradients scatter-add over bilinear
+    texel footprints (4 texels/ray, heavy collisions at small atlases:
+    the contended case, verdict r4 #4); the run forces bilinear
+    filtering so the footprint path is what gets measured.
 
     The target is the scene's own render (zero-ish loss, but the backward
     work is identical for any target).  Counts primary + shadow rays of the
@@ -160,10 +196,10 @@ def bench_backward(flat, cfg, sync):
     import jax
     import optax
 
-    from raytpu.config import Quantize
+    from raytpu.config import Quantize, TextureFiltering
     from raytpu.core.camera import Camera, camera_rays
     from raytpu.diff.fit import make_fit_step
-    from raytpu.diff.params import GEOMETRY, extract_params
+    from raytpu.diff.params import GEOMETRY, TEXTURE, extract_params
     from raytpu.render.wavefront import block_order_perm, render_rays
 
     res_b = int(os.environ.get("BENCH_BACK_RES", 512))
@@ -174,6 +210,9 @@ def bench_backward(flat, cfg, sync):
     cfg_b = dataclasses.replace(cfg, width=res_b, height=res_b,
                                 quantize=Quantize.NONE,
                                 tile_pixels=res_b * res_b)
+    if fields == "texture":
+        cfg_b = dataclasses.replace(cfg_b,
+                                    filtering=TextureFiltering.BILINEAR)
     camera = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),
                     aspect=1.0)
     o, d = camera_rays(camera, res_b, res_b)
@@ -183,10 +222,11 @@ def bench_backward(flat, cfg, sync):
     target = jax.jit(lambda s, oo, dd: render_rays(s, cfg_b, oo, dd))(
         flat, o, d)
 
-    params = extract_params(flat, GEOMETRY)
+    field_list = GEOMETRY if fields == "geometry" else TEXTURE
+    params = extract_params(flat, field_list)
     optimizer = optax.sgd(0.0)  # timing only: do not perturb the scene
     opt_state = optimizer.init(params)
-    step = make_fit_step(flat, cfg_b, optimizer, fields=GEOMETRY)
+    step = make_fit_step(flat, cfg_b, optimizer, fields=field_list)
 
     _, _, loss = step(params, opt_state, o, d, target)
     sync(loss)

@@ -319,9 +319,20 @@ class ClusterTable:
         # brute, octree, the ring's dense fallback) and any_hit queries
         # have no such limit, and >HBM scenes must still bake.
 
+        # Original-triangle-id -> geometry-block map (shadow clearance,
+        # accel/shadowcull.py: a fragment's own block anchors its exact
+        # near-field search).
+        n_orig = int(np.asarray(tri_v1).shape[0])
+        tri_block_map = np.zeros(n_orig, np.int32)
+        vslots = order >= 0
+        tri_block_map[order[vslots]] = (
+            np.arange(order.shape[0], dtype=np.int64)[vslots] // lanes
+        ).astype(np.int32)
+
         out = {
             "cluster_min": jnp.asarray(cmin_l),
             "cluster_max": jnp.asarray(cmax_l),
+            "tri_block": jnp.asarray(tri_block_map),
             "aabb": jnp.asarray(aabb),
             "root": jnp.asarray(root),
             "root_min": jnp.asarray(root_min),

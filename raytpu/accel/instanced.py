@@ -266,3 +266,156 @@ def nearest_hit_instanced(mesh_bakes: List, instances: List[Instance],
     if return_stats:
         return best, jnp.stack(stats)
     return best
+
+
+def nearest_hit_instanced_scan(mesh_bakes: List, instances: List[Instance],
+                               origin, direction, t_max=None,
+                               ignore_tri=None, ignore_instance=None,
+                               intersector: Intersector = Intersector.AUTO,
+                               prune: bool = True,
+                               return_stats: bool = False,
+                               **kw):
+    """``nearest_hit_instanced`` with ONE compiled pass per unique mesh.
+
+    The unrolled loop compiles O(instances) intersector passes — fine at
+    the reference's ~5 objects, hostile at 64+.  The TPU-native instance
+    hierarchy is NOT a pointer octree over bodies (OctreeSpatialManager.cs
+    :35-99 — per-ray divergent node walks are the shape the cluster
+    redesign removed): instances sharing a mesh bake run under ONE
+    ``lax.scan`` whose step gathers that instance's transform/AABB by
+    index, so the traced program size is O(unique meshes) and the
+    per-step work for a pruned-empty instance is one slab test + a
+    skipped ``lax.cond`` branch — sub-linear RUNTIME in the instance
+    count for any ray batch that sees a few instances, with compile time
+    independent of it.
+
+    Front-to-back ordering happens IN-GRAPH per call: instances are
+    sorted by world-AABB distance from the batch's origin centroid, so
+    the running best tightens on near instances first (secondary-bounce
+    batches get their own ordering, which the static ``order`` of the
+    unrolled path cannot do).  Results are identical to the unrolled path
+    up to equal-distance tie order.  ``return_stats``: per-instance live
+    counts, indexed by ORIGINAL instance position.
+    """
+    import jax
+
+    origin = jnp.asarray(origin, jnp.float32)
+    direction = jnp.asarray(direction, jnp.float32)
+    r = origin.shape[0]
+    f32, i32 = jnp.float32, jnp.int32
+
+    best = InstancedHit(
+        hit=jnp.zeros((r,), bool),
+        t_world=jnp.full((r,), INF, f32),
+        u=jnp.zeros((r,), f32),
+        v=jnp.zeros((r,), f32),
+        tri=jnp.full((r,), -1, i32),
+        instance=jnp.full((r,), -1, i32),
+    )
+    cap_user = (None if t_max is None else jnp.asarray(t_max, f32))
+    stats_out = jnp.zeros((len(instances),), i32)
+
+    # Ray-batch reference point for the in-graph front-to-back sort.
+    finite_o = jnp.all(jnp.isfinite(origin), axis=-1, keepdims=True)
+    centroid = (jnp.sum(jnp.where(finite_o, origin, 0.0), axis=0)
+                / jnp.maximum(jnp.sum(finite_o), 1))
+
+    groups = {}
+    for idx, inst in enumerate(instances):
+        groups.setdefault(inst.mesh_index, []).append(idx)
+
+    for mesh_index, grp in groups.items():
+        bake = mesh_bakes[mesh_index]
+        ws = jnp.asarray(np.stack([instances[i].world for i in grp]))
+        invs = jnp.asarray(
+            np.stack([instances[i].inv_world for i in grp]))
+        # Host-side (numpy) world AABBs: a per-instance jnp loop here
+        # would re-inflate the traced program with O(instances) ops — the
+        # exact thing the scan exists to avoid.
+        if getattr(bake, "clusters", None) is not None:
+            mn_o = np.asarray(bake.clusters["root_min"])
+            mx_o = np.asarray(bake.clusters["root_max"])
+        else:
+            vs = np.concatenate([
+                np.asarray(bake.tri_v1),
+                np.asarray(bake.tri_v1) + np.asarray(bake.tri_e1),
+                np.asarray(bake.tri_v1) + np.asarray(bake.tri_e2),
+            ])
+            mn_o = vs.min(axis=0)
+            mx_o = vs.max(axis=0)
+        corners = np.stack([
+            np.where([(i >> k) & 1 for k in range(3)], mx_o, mn_o)
+            for i in range(8)
+        ])  # (8, 3)
+        ws_np = np.stack([instances[i].world for i in grp])
+        cw = corners[None] @ ws_np[:, :3, :3] + ws_np[:, None, 3, :3]
+        mns = jnp.asarray(cw.min(axis=1).astype(np.float32))
+        mxs = jnp.asarray(cw.max(axis=1).astype(np.float32))
+        ids = jnp.asarray(grp, i32)
+
+        near = jnp.clip(centroid[None, :], mns, mxs)
+        dist = jnp.linalg.norm(near - centroid[None, :], axis=-1)
+        perm = jnp.argsort(dist)
+        xs = (ws[perm], invs[perm], mns[perm], mxs[perm], ids[perm])
+
+        def step(carry, x, bake=bake):
+            best_in, stats_in = carry
+            w, inv, mn_w, mx_w, inst_id = x
+
+            o_obj = _transform_points(origin, inv)
+            p2_obj = _transform_points(origin + direction, inv)
+            d_obj = p2_obj - o_obj
+            norm = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
+            d_obj = d_obj / jnp.where(norm == 0, 1.0, norm)
+
+            cap = best_in.t_world
+            if cap_user is not None:
+                cap = jnp.minimum(cap, cap_user)
+            if prune:
+                live = _prune_mask(origin, direction, mn_w, mx_w, cap)
+            else:
+                live = jnp.ones((r,), bool)
+            d_obj = jnp.where(live[:, None], d_obj, f32(jnp.nan))
+
+            t_max_obj = None
+            if cap_user is not None:
+                t_max_obj = cap_user * norm[:, 0]
+            itri = None
+            if ignore_tri is not None:
+                this = jnp.asarray(ignore_instance) == inst_id
+                itri = jnp.where(this, jnp.asarray(ignore_tri, i32), -1)
+
+            def run_pass(b):
+                h: Hit = nearest_hit(bake, o_obj, d_obj, t_max=t_max_obj,
+                                     ignore_tri=itri,
+                                     intersector=intersector, **kw)
+                safe = jnp.maximum(h.tri, 0)
+                frag_obj = (bake.tri_v1[safe]
+                            + bake.tri_e1[safe] * h.u[..., None]
+                            + bake.tri_e2[safe] * h.v[..., None])
+                frag_w = _transform_points(frag_obj, w)
+                t_world = jnp.linalg.norm(frag_w - origin, axis=-1)
+                t_world = jnp.where(h.hit, t_world, INF)
+                upd = t_world < b.t_world
+                return InstancedHit(
+                    hit=b.hit | (upd & h.hit),
+                    t_world=jnp.where(upd, t_world, b.t_world),
+                    u=jnp.where(upd, h.u, b.u),
+                    v=jnp.where(upd, h.v, b.v),
+                    tri=jnp.where(upd, h.tri, b.tri),
+                    instance=jnp.where(upd, inst_id, b.instance),
+                )
+
+            import jax as _jax
+
+            best_out = _jax.lax.cond(jnp.any(live), run_pass,
+                                     lambda b: b, best_in)
+            stats_out_ = stats_in.at[inst_id].set(
+                jnp.sum(live).astype(i32))
+            return (best_out, stats_out_), None
+
+        (best, stats_out), _ = jax.lax.scan(step, (best, stats_out), xs)
+
+    if return_stats:
+        return best, stats_out
+    return best

@@ -153,6 +153,14 @@ class RenderConfig:
     # (core/intersect.py cull="reverse"); only FP rounding at edge-grazing
     # occluders and zero-measure endpoint coincidences can differ.
     shadow_from_light: bool = True
+    # Per-block shadow clearance (accel/shadowcull.py): precompute, per
+    # frame and light, the nearest distance at which geometry OUTSIDE a
+    # fragment's own block can occlude it; reversed spot queries then
+    # start at light + t_min*dir (directional queries cap t_max at the
+    # own-block exit when nothing lies beyond).  Exact — every possible
+    # occluder is provably inside the searched segment; on lit open
+    # scenes the walk collapses to the fragment's own neighborhood.
+    shadow_clearance: bool = True
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
     # pixel gradients flow to geometry/normals/UVs/materials/texels through

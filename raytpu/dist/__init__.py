@@ -8,6 +8,7 @@ from raytpu.dist.mesh import (  # noqa: F401
     replicate_scene,
 )
 from raytpu.dist.render import (  # noqa: F401
+    render_image_multisampled_sharded,
     render_image_sharded,
     render_rays_sharded,
 )

@@ -469,14 +469,19 @@ def strip_for_ring(flat):
 
 
 def make_ring_backends(shards: dict, shade: dict, mesh: Mesh,
-                       tile_size: int = 256, intersector: str = "auto"):
+                       tile_size: int = 256, intersector: str = "auto",
+                       differentiable: bool = False):
     """(query, gather) callables for render/wavefront.py injection.
 
     ``query`` is ``nearest_hit_ring`` over the geometry shards; ``gather``
     resolves packed shade rows with ``gather_rows_ring``.  With these, the
     UNMODIFIED wavefront level/shading code (reflections, refraction,
     shadows with transparent-occluder attenuation, textures) renders
-    scenes whose triangle tables exceed one device's HBM."""
+    scenes whose triangle tables exceed one device's HBM.
+
+    ``differentiable``: the gather takes the custom-VJP ring path so
+    reverse-mode flows into the sharded shade table (the query is always
+    detached by the differentiable wavefront — render/wavefront.py)."""
 
     def query(scene, origin, direction, *, ignore_tri=None,
               ignore_mesh=None, t_max=None, any_hit=False, cull=True):
@@ -488,7 +493,8 @@ def make_ring_backends(shards: dict, shade: dict, mesh: Mesh,
     def gather(scene, tri):
         from raytpu.render.wavefront import shade_row_views
 
-        return shade_row_views(gather_rows_ring(shade, tri, mesh))
+        return shade_row_views(gather_rows_ring(
+            shade, tri, mesh, differentiable=differentiable))
 
     return query, gather
 
@@ -502,11 +508,13 @@ def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
     textures); its per-triangle tables are not touched — pass
     ``strip_for_ring(flat)`` plus prebuilt ``shards``/``shade`` for a true
     >HBM deployment.  Exact pixel parity with the replicated renderer
-    (tested on the 8-device CPU mesh, tests/test_dist.py)."""
-    if cfg.differentiable:
-        raise NotImplementedError(
-            "differentiable ring rendering is not built (the recompute "
-            "path gathers replicated SoA tables)")
+    (tested on the 8-device CPU mesh, tests/test_dist.py).
+
+    ``cfg.differentiable``: supported — the gather takes the custom-VJP
+    ring path (cotangent rows ppermute back to their owner shards), so
+    ``jax.grad`` of a loss over these colors w.r.t. the sharded shade
+    table (or params feeding it, see ``make_ring_fit_step``) works with
+    the triangle tables never replicated."""
     if mesh is None:
         from raytpu.dist.mesh import make_mesh
 
@@ -516,7 +524,8 @@ def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
     if shade is None:
         shade = shard_scene_shade(flat, mesh)
     query, gather = make_ring_backends(shards, shade, mesh,
-                                       tile_size=cfg.cull_tile)
+                                       tile_size=cfg.cull_tile,
+                                       differentiable=cfg.differentiable)
     from raytpu.render.wavefront import trace_colors
 
     return trace_colors(flat, cfg, origin, direction, query=query,
@@ -543,3 +552,109 @@ def render_image_ring(flat, cfg, camera=None, mesh: Optional[Mesh] = None,
                               shards=shards, shade=shade)
     out = jnp.zeros_like(colors).at[perm].set(colors)
     return out.reshape(cfg.height, cfg.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable ring fits: GEOMETRY optimization on >HBM scenes.
+# ---------------------------------------------------------------------------
+
+#: tri_shade column layout (render/wavefront.py packed-row contract).
+_COL_V1 = slice(0, 3)
+_COL_E1 = slice(3, 6)
+_COL_E2 = slice(6, 9)
+_COL_MID = slice(9, 24)      # n1 n2 n3 uv1 uv2 uv3 (shade constants)
+_COL_SN = slice(24, 27)
+_COL_TAIL = slice(27, 32)    # color rgba + mesh bits
+
+
+def extract_ring_params(flat, mesh: Mesh) -> dict:
+    """Sharded GEOMETRY params partitioned exactly like shard_scene_shade.
+
+    Returns {tri_v1, tri_e1, tri_e2} as (N, Ts, 3) arrays with device i
+    holding only row range [i*Ts, (i+1)*Ts) — the >HBM property for the
+    trainable tables.  Padding rows are zero and receive zero gradient
+    (no ray ever gathers them with a live mask)."""
+    n = mesh.size
+    axis = mesh.axis_names[0]
+    out = {}
+    for f in ("tri_v1", "tri_e1", "tri_e2"):
+        a = np.asarray(getattr(flat, f), np.float32)
+        t = a.shape[0]
+        ts = -(-t // n)
+        padded = np.zeros((n * ts, a.shape[1]), np.float32)
+        padded[:t] = a
+        out[f] = jax.device_put(
+            jnp.asarray(padded.reshape(n, ts, a.shape[1])),
+            NamedSharding(mesh, P(axis)))
+    return out
+
+
+def ring_shade_from_params(shade_const, params):
+    """(N, Ts, 32) shade table with the GEOMETRY columns rebuilt in-graph.
+
+    The jnp twin of diff/params.pack_shade restricted to the geometry
+    channels: v1/e1/e2 come from the (sharded) params, the face normal is
+    recomputed as normalize(cross(e2, e1)) (TracerModelProcessor.cs:199-
+    203), and the shade-constant columns come from the baked table.
+    Elementwise on identically-sharded operands — XLA keeps the leading
+    axis sharded, no reshard."""
+    from raytpu.core.math3d import cross, normalize
+
+    v1 = params["tri_v1"]
+    e1 = params["tri_e1"]
+    e2 = params["tri_e2"]
+    sn = normalize(cross(e2, e1))
+    return jnp.concatenate(
+        [v1, e1, e2, shade_const[..., _COL_MID], sn,
+         shade_const[..., _COL_TAIL]], axis=-1)
+
+
+def make_ring_fit_step(flat, cfg, mesh: Mesh, optimizer,
+                       shards: Optional[dict] = None,
+                       shade: Optional[dict] = None):
+    """Jitted GEOMETRY fit step over ring-sharded (>HBM) scenes.
+
+    BASELINE configs 4x5 composed: inverse rendering at a scale whose
+    triangle tables need sharding.  ``flat`` provides the replicated
+    small tables (pass ``strip_for_ring(flat)`` + prebuilt shards for a
+    true >HBM run); params/gradients are the SHARDED (N, Ts, 3) geometry
+    arrays of ``extract_ring_params``.  The loss renders through the
+    differentiable ring backends: the shade-row gather's custom VJP
+    ppermutes cotangent rows back to their owner shards, so neither the
+    forward nor the backward ever materializes a replicated table.
+
+    NOTE: like the replicated fit, the intersector shards go stale as
+    geometry moves — rebuild between epochs (diff/fit.py docstring).
+
+    Returns ``step(params, opt_state, origin, direction, target) ->
+    (params, opt_state, loss)``.
+    """
+    import dataclasses
+
+    import optax
+
+    from raytpu.render.wavefront import trace_colors
+
+    if shards is None:
+        shards = shard_scene_clusters(flat, mesh)
+    if shade is None:
+        shade = shard_scene_shade(flat, mesh)
+    cfg = dataclasses.replace(cfg, differentiable=True)
+    shade_const = shade["shade"]
+
+    def loss_fn(params, origin, direction, target):
+        sh = dict(shade, shade=ring_shade_from_params(shade_const, params))
+        query, gather = make_ring_backends(
+            shards, sh, mesh, tile_size=cfg.cull_tile, differentiable=True)
+        colors = trace_colors(flat, cfg, origin, direction, query=query,
+                              gather=gather)
+        return jnp.mean((colors - target) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, origin, direction, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, origin,
+                                                  direction, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step

@@ -73,7 +73,11 @@ def render_image_sharded(scene: FlatScene, cfg: RenderConfig,
                          mesh: Optional[Mesh] = None):
     """Full-frame render over a device mesh → (H, W, 3) float32.
 
-    Drop-in sharded equivalent of render/wavefront.py::render_image.
+    Drop-in sharded equivalent of render/wavefront.py::render_image —
+    including ``cfg.use_multisampling`` (the adaptive supersampler shards
+    over the pixel axis, see render_image_multisampled_sharded; the
+    reference's multisampling likewise ran inside its parallel path,
+    RayTracer.cs:128-213).
     """
     from raytpu.dist.mesh import make_mesh
 
@@ -81,10 +85,64 @@ def render_image_sharded(scene: FlatScene, cfg: RenderConfig,
 
     mesh = mesh or make_mesh()
     camera = camera or Camera(aspect=cfg.width / cfg.height)
+    if cfg.use_multisampling:
+        return render_image_multisampled_sharded(scene, cfg, camera, mesh)
     o, d = camera_rays(camera, cfg.width, cfg.height)
     # Block-major ray order: compact cull-tile cones per device chunk.
     block = max(1, int(cfg.cull_tile ** 0.5))
     perm = block_order_perm(cfg.width, cfg.height, block)
     colors = render_rays_sharded(scene, cfg, o[perm], d[perm], mesh)
     colors = jnp.zeros_like(colors).at[perm].set(colors)
+    return colors.reshape(cfg.height, cfg.width, 3)
+
+
+def render_image_multisampled_sharded(scene: FlatScene, cfg: RenderConfig,
+                                      camera: Optional[Camera] = None,
+                                      mesh: Optional[Mesh] = None):
+    """Adaptive-supersampled frame sharded over the PIXEL axis.
+
+    Each device runs the identical level-synchronous supersampler
+    (render/supersample.py) on its contiguous pixel block — the adaptive
+    subdivision stays per-quadrant data so the shards need no
+    communication beyond the out-sharding assembly.  Pixel parity with
+    the single-device supersampler (dead-quadrant padding rounds the
+    pixel count up to the device count)."""
+    from raytpu.dist.mesh import make_mesh
+    from raytpu.render.supersample import supersample_colors
+
+    mesh = mesh or make_mesh()
+    camera = camera or Camera(aspect=cfg.width / cfg.height)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(cfg.height, dtype=jnp.float32),
+        jnp.arange(cfg.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cx = xs.reshape(-1)
+    cy = ys.reshape(-1)
+    n = cx.shape[0]
+    n_dev = mesh.size
+    chunk = -(-n // n_dev)
+    pad = chunk * n_dev - n
+    if pad:
+        cx = jnp.concatenate([cx, jnp.zeros((pad,), jnp.float32)])
+        cy = jnp.concatenate([cy, jnp.zeros((pad,), jnp.float32)])
+    alive = jnp.arange(cx.shape[0]) < n
+
+    axis = _flat_axis(mesh)
+    spec = P(axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,  # same pallas_call caveat as render_rays_sharded
+    )
+    def shard_ss(scene_rep, x, y, a):
+        from raytpu.dist.mesh import pvary_tree as pv
+
+        return supersample_colors(pv(scene_rep, mesh.axis_names), cfg,
+                                  camera, x, y, alive=a)
+
+    colors = shard_ss(scene, cx, cy, alive)[:n]
     return colors.reshape(cfg.height, cfg.width, 3)

@@ -900,6 +900,7 @@ def _tlane_kernel(
     uvt: bool = False,
     subk: int = 1,
     use_plane: bool = False,
+    gate: bool = True,
 ):
     """Transposed-layout walk: pair matrix (C, TS), rays in LANES.
 
@@ -1050,8 +1051,12 @@ def _tlane_kernel(
         # cares about (min of its best and its t bound).  A sibling whose
         # conservative entry is not below it cannot improve any ray —
         # skip its whole (csub, TS) pass.  Exact (see docstring).
-        capmax = jnp.max(jnp.where(rs_ref[:, :] > 0.0, f32(-INF),
-                                   jnp.minimum(bt_ref[:, :], tmax0)))
+        # ``gate=False`` disables the skip branches (A/B control: r4
+        # measured pl.when around the uvt update slower than the work it
+        # saved; results are identical either way).
+        if gate:
+            capmax = jnp.max(jnp.where(rs_ref[:, :] > 0.0, f32(-INF),
+                                       jnp.minimum(bt_ref[:, :], tmax0)))
         for j in range(kc):
             slot = grp * kc + j
             # One hardware transpose flips the fetched (32, C) block to
@@ -1110,12 +1115,12 @@ def _tlane_kernel(
                         bi_ref[:, :] = jnp.where(upd, sums(tid_f),
                                                  bi_ref[:, :])
 
-            if subk > 1:
-                for h in range(subk):
-                    vh = qs[slot * subk + h]
+            for h in range(subk):
+                if gate:
+                    vh = qs[slot * subk + h] if subk > 1 else qv[slot]
                     pl.when(vh < capmax)(functools.partial(do_sib, h))
-            else:
-                pl.when(qv[slot] < capmax)(functools.partial(do_sib, 0))
+                else:
+                    do_sib(h)
 
         nxt = jax.lax.rem(i + 1, NG)
         v_next = qv[nxt * kc]
@@ -1166,7 +1171,7 @@ def _tlane_kernel(
                               "has_ignore", "mxu", "mxu_precision",
                               "recull_every", "pretest", "max_trips",
                               "uvt", "prepick", "nbuf", "layout",
-                              "plane", "interpret")
+                              "plane", "gate", "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
                 ts: int = 256,
@@ -1177,7 +1182,7 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
                 recull_every: int = 0, pretest: bool = False,
                 max_trips: int = 0, uvt: bool = False,
                 prepick: int = 0, nbuf: int = 4, layout: str = "row",
-                plane: bool = False,
+                plane: bool = False, gate: bool = True,
                 interpret: bool = False):
     """Run the fused kernel over (ROWS, NT*TS) packed rays, ``ts`` per tile.
 
@@ -1235,7 +1240,8 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
         kernel = functools.partial(
             _tlane_kernel, cull=cull, any_hit=any_hit, nc=nc,
             k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
-            max_trips=max_trips, uvt=uvt, subk=subk, use_plane=use_plane)
+            max_trips=max_trips, uvt=uvt, subk=subk, use_plane=use_plane,
+            gate=gate)
         # Constant index maps: cull tables stay VMEM-resident across grid
         # steps instead of re-streaming per tile.
         in_specs = base_specs + [
@@ -1424,7 +1430,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ngrp: int = NGRP, mxu=None, recull_every: int = 0,
                       pretest: bool = False, phase1_trips: int = 0,
                       prepick: int = 0, nbuf: int = 4, layout=None,
-                      plane=None,
+                      plane=None, gate: bool = True,
                       return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
@@ -1547,7 +1553,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
               pretest=pretest, uvt=uvt, layout=layout, interpret=interpret)
     if layout == "t":
         kw.update(saabb=cl.get("sub_aabb"), splane=cl.get("sub_plane"),
-                  plane=bool(plane))
+                  plane=bool(plane), gate=gate)
     if prepick > 0 and phase1_trips > 0:
         raise ValueError("prepick and phase1_trips are mutually exclusive "
                          "overflow strategies")

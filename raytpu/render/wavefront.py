@@ -231,17 +231,68 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
             and i < len(scene.light_kinds)
             and scene.light_kinds[i] == lights_mod.SPOT
         )
+        # Per-block shadow clearance (accel/shadowcull.py, r5): every
+        # possible occluder of a fragment provably lies at light-distance
+        # >= min(D(own block), the ray's own-block AABB entry), so the
+        # searched segment shrinks to the fragment's neighborhood on lit
+        # open scenes — exact, computed in-graph per frame (no staleness
+        # under moving lights / refit geometry).
+        use_clear = (
+            cfg.shadow_clearance
+            and scene.clusters is not None
+            and "tri_block" in scene.clusters
+        )
         if reverse:
+            origin_q = jnp.broadcast_to(lt["position"][i], frag_pos.shape)
+            dir_q = -sdir
+            tmax_q = sdist
+            if use_clear:
+                from raytpu.accel.shadowcull import (clearance_spot,
+                                                     own_block_entry_exit)
+
+                clr = scene.clusters
+                dvals = clearance_spot(clr, lt["position"][i])
+                b_id, t_en, _ = own_block_entry_exit(
+                    clr, clr["tri_block"], hit_tri, origin_q, dir_q)
+                tmin = jnp.minimum(dvals[b_id], jnp.maximum(t_en, 0.0))
+                # Conservative shave: fp rounding in the clearance sweep
+                # and the slab entry must never push the start past a
+                # real occluder.
+                tmin = jnp.clip(tmin * (1.0 - 1e-4) - 1e-4, 0.0, None)
+                tmin = jnp.where(lit, tmin, 0.0)
+                origin_q = origin_q + tmin[..., None] * dir_q
+                tmax_q = sdist - tmin
             shadow = query(
                 jax.tree.map(sg, scene) if cfg.differentiable else scene,
-                sg(jnp.broadcast_to(lt["position"][i], frag_pos.shape)),
-                sg(jnp.where(lit[..., None], -sdir, nanv)),
+                sg(origin_q),
+                sg(jnp.where(lit[..., None], dir_q, nanv)),
                 ignore_tri=hit_tri,
                 cull="reverse",
-                t_max=sg(sdist),
+                t_max=sg(tmax_q),
                 any_hit=True,
             )
         else:
+            tmax_q = sdist
+            directional = (i < len(scene.light_kinds)
+                           and scene.light_kinds[i] == lights_mod.DIRECTIONAL)
+            if use_clear and directional:
+                # Directional analog: parallel beams.  When nothing lies
+                # beyond the fragment's own block along the shared light
+                # direction (D' = INF), the search may stop at the own
+                # block's AABB exit — suffix emptiness is the only sound
+                # cap in the fragment-side parametrization.
+                from raytpu.accel.shadowcull import (
+                    clearance_directional, own_block_entry_exit)
+
+                clr = scene.clusters
+                dl = -lt["direction"][i]
+                dvals = clearance_directional(clr, dl)
+                b_id, _, t_ex = own_block_entry_exit(
+                    clr, clr["tri_block"], hit_tri, frag_pos,
+                    jnp.broadcast_to(dl, frag_pos.shape))
+                own_cap = jnp.maximum(t_ex, 0.0) * (1.0 + 1e-4) + 1e-4
+                tmax_q = jnp.where(dvals[b_id] >= sdist,
+                                   jnp.minimum(sdist, own_cap), sdist)
             shadow = query(
                 jax.tree.map(sg, scene) if cfg.differentiable else scene,
                 sg(frag_pos),
@@ -250,7 +301,7 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
                 cull=True,
                 # Bound the search at the light: occluders beyond it are
                 # irrelevant and unoccluded rays stop scanning early.
-                t_max=sg(sdist),
+                t_max=sg(tmax_q),
                 # Opaque scenes only need the occlusion boolean, so the
                 # query may stop at the first qualifying hit.  Transparent
                 # scenes need the *nearest* occluder (its alpha attenuates

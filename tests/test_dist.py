@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from raytpu.config import Intersector
+from raytpu.config import Intersector, Quantize
 from raytpu.dist import make_mesh, render_image_sharded, replicate_scene
 from raytpu.render import render_image
 from raytpu.scene.flatten import flatten_scene
@@ -186,3 +186,112 @@ class TestRingRendering:
             img_ring = np.asarray(render_image_ring(
                 stripped, cfg, cam, mesh, shards=shards, shade=shade))
         np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
+
+
+class TestRingDifferentiable:
+    """Differentiable ring rendering (r5): the shade-row gather's custom
+    VJP ppermutes cotangent rows back to their owner shards, so GEOMETRY
+    fits run with the trainable tables sharded (>HBM; BASELINE configs
+    4x5 composed)."""
+
+    def test_ring_geometry_fit_matches_replicated(self):
+        import optax
+
+        from raytpu.diff.fit import render_loss
+        from raytpu.diff.params import GEOMETRY, extract_params
+        from raytpu.dist.bigscene import (extract_ring_params,
+                                          make_ring_fit_step,
+                                          shard_scene_clusters,
+                                          shard_scene_shade,
+                                          strip_for_ring)
+        from raytpu.dist.mesh import make_mesh
+        from raytpu.core.camera import camera_rays
+
+        from raytpu.core.camera import Camera
+
+        fl = sphere_and_plane_scene(reflect=0.4, textured=True).flatten(
+            build_octree=False, cluster_size=16)
+        cfg = small_cfg(width=16, height=16, max_reflections=1,
+                        intersector=Intersector.TILED, tile_pixels=256,
+                        quantize=Quantize.NONE, differentiable=True)
+        # Jittered camera: an axis-aligned 16x16 grid fires rays EXACTLY
+        # down shared quad edges, and equidistant-tie winners differ
+        # between the ring (shard visit order) and tiled (pick order)
+        # backends — a documented ring deviation, not a gradient bug.
+        cam = Camera(position=(0.313, 16.17, 31.9), aspect=1.0)
+        o, d = camera_rays(cam, 16, 16)
+        target = jnp.zeros((256, 3), jnp.float32)
+
+        # Replicated reference: loss + grads w.r.t. GEOMETRY fields.
+        params_rep = extract_params(fl, GEOMETRY)
+        loss_rep, g_rep = jax.value_and_grad(render_loss, argnums=2)(
+            fl, cfg, params_rep, o, d, target)
+
+        # Ring fit on a STRIPPED scene + sharded params (sgd(1.0):
+        # grads = params - new_params).
+        mesh = make_mesh()
+        shards = shard_scene_clusters(fl, mesh)
+        shade = shard_scene_shade(fl, mesh)
+        stripped = strip_for_ring(fl)
+        params = extract_ring_params(fl, mesh)
+        opt = optax.sgd(1.0)
+        step = make_ring_fit_step(stripped, cfg, mesh, opt,
+                                  shards=shards, shade=shade)
+        new_params, _, loss_ring = step(params, opt.init(params), o, d,
+                                        target)
+
+        np.testing.assert_allclose(float(loss_ring), float(loss_rep),
+                                   rtol=1e-6)
+        t = fl.tri_v1.shape[0]
+        for f in GEOMETRY:
+            g_ring = (np.asarray(params[f])
+                      - np.asarray(new_params[f])).reshape(-1, 3)[:t]
+            # atol 5e-7: the ring backward accumulates cotangents
+            # per-chunk around the ring (different summation order than
+            # the replicated single scatter) — pure fp reassociation.
+            np.testing.assert_allclose(g_ring, np.asarray(g_rep[f]),
+                                       rtol=1e-5, atol=5e-7)
+
+    def test_ring_render_differentiable_cfg_allowed(self):
+        """cfg.differentiable no longer raises on the ring path and the
+        forward pixels stay identical to the non-differentiable render."""
+        import dataclasses
+
+        from raytpu.dist.bigscene import render_image_ring
+        from raytpu.dist.mesh import make_mesh
+
+        fl = sphere_and_plane_scene(reflect=0.4).flatten(
+            build_octree=False, cluster_size=16)
+        cfg = small_cfg(width=16, height=16, max_reflections=1,
+                        intersector=Intersector.TILED, tile_pixels=256,
+                        quantize=Quantize.NONE)
+        cam = default_camera()
+        mesh = make_mesh()
+        img = np.asarray(render_image_ring(fl, cfg, cam, mesh))
+        img_d = np.asarray(render_image_ring(
+            fl, dataclasses.replace(cfg, differentiable=True), cam, mesh))
+        # ulp-level only: the ring query's winner (u, v) round differently
+        # from the differentiable recompute (udet/det vs triple-product).
+        np.testing.assert_allclose(img_d, img, atol=1e-5)
+
+
+def test_sharded_multisampled_matches_single_device(flat):
+    """--devices all + --multisample: the supersampler shards over the
+    pixel axis and must match the single-device adaptive AA exactly
+    (verdict r4 gap: render_image_sharded silently ignored AA)."""
+    import dataclasses
+
+    from raytpu.render.supersample import render_image_multisampled
+
+    # Quantize.NONE: the per-device tile regrouping reorders the walk,
+    # which can flip byte-rounding on tie-grazing corners (1/255 steps);
+    # the float pixels themselves must agree to fp noise.
+    cfg = small_cfg(width=16, height=12, max_reflections=1,
+                    intersector=Intersector.TILED, tile_pixels=256,
+                    quantize=Quantize.NONE,
+                    use_multisampling=True, multisample_quality=1)
+    cam = default_camera(aspect=16 / 12)
+    mesh = make_mesh()
+    img_one = np.asarray(render_image_multisampled(flat, cfg, cam))
+    img_sh = np.asarray(render_image_sharded(flat, cfg, cam, mesh))
+    np.testing.assert_allclose(img_sh, img_one, atol=1e-5)

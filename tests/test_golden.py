@@ -11,6 +11,13 @@ Configs (BASELINE.md, miniaturized):
   g2 — sphere + plane, spot shadow rays               (config 2)
   g3 — reflective multi-mesh scene, one mirror bounce (config 3)
   g4 — transparent sphere, refraction path            (refraction slice)
+  g5 — 100k-tri reflective terrain, 256^2, 2 bounces + shadow
+       (config 4's shape — the DEPTH golden: a traversal regression that
+       only manifests at deep walks flips this image, and it is checked
+       through BOTH the tiled XLA backend and the fused Pallas kernel in
+       interpret mode)
+
+g1-g4 render at 128^2 (raised from 48^2, verdict r4 #6).
 """
 
 import os
@@ -32,8 +39,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def _cfg(**kw):
-    kw.setdefault("width", 48)
-    kw.setdefault("height", 48)
+    kw.setdefault("width", 128)
+    kw.setdefault("height", 128)
     kw.setdefault("intersector", Intersector.OCTREE)
     kw.setdefault("quantize", Quantize.FINAL)
     return RenderConfig(**kw)
@@ -56,19 +63,46 @@ def _cases():
     }
 
 
+def _terrain_scene():
+    """~100k-tri reflective terrain (BASELINE config 4's mesh shape)."""
+    from raytpu.scene.lights import SpotLight
+    from raytpu.scene.procedural import subdivided_plane
+    from raytpu.scene.types import Material, Scene, SceneObject
+
+    mesh = subdivided_plane(
+        size=(40.0, 40.0),
+        divisions=224,  # 2 * 224^2 = 100,352 triangles
+        material=Material(reflectiveness=0.3,
+                          diffuse_color=(0.7, 0.6, 0.5, 1.0)),
+        height_fn=lambda x, z: 2.0 * np.sin(x * 0.7) * np.cos(z * 0.7)
+        + 0.5 * np.sin(x * 3.1) * np.sin(z * 2.3),
+    )
+    return Scene(
+        objects=[SceneObject(meshes=[mesh])],
+        lights=[SpotLight(position=(0.0, 30.0, 25.0),
+                          direction=(0.0, -0.7682213, -0.6401844))],
+    )
+
+
+def _terrain_setup():
+    flat = _terrain_scene().flatten(build_octree=False, cluster_size=128)
+    cfg = _cfg(width=256, height=256, max_reflections=2,
+               intersector=Intersector.TILED, tile_pixels=8192)
+    cam = Camera(position=(0.0, 28.0, 34.0), target=(0.0, 0.0, 0.0),
+                 aspect=1.0)
+    return flat, cfg, cam
+
+
 def _render(scene, cfg, cam):
     flat = scene.flatten(leaf_threshold=16, max_depth=8)
     return np.asarray(render_image(flat, cfg, cam))
 
 
-@pytest.mark.parametrize("name", sorted(_cases()))
-def test_golden(name):
-    scene, cfg, cam = _cases()[name]
+def _compare(name, img):
     path = os.path.join(GOLDEN_DIR, name + ".png")
     assert os.path.exists(path), (
         f"golden {name} missing — run `python tests/test_golden.py regen`"
     )
-    img = _render(scene, cfg, cam)
     got = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     want = read_image(path)
     # FINAL quantization makes the comparison a straight byte compare with
@@ -80,12 +114,36 @@ def test_golden(name):
     )
 
 
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_golden(name):
+    scene, cfg, cam = _cases()[name]
+    _compare(name, _render(scene, cfg, cam))
+
+
+@pytest.mark.parametrize("intersector",
+                         [Intersector.TILED, Intersector.PALLAS])
+def test_golden_terrain_depth(intersector):
+    """The 256^2 / 100k-tri / 2-bounce depth golden through BOTH deep
+    backends: the tiled XLA walk and the fused Pallas kernel (interpret
+    mode on CPU — the same walk/order/acceptance the TPU runs)."""
+    import dataclasses
+
+    flat, cfg, cam = _terrain_setup()
+    cfg = dataclasses.replace(cfg, intersector=intersector)
+    img = np.asarray(render_image(flat, cfg, cam))
+    _compare("g5_terrain_depth", img)
+
+
 def regen():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, (scene, cfg, cam) in sorted(_cases().items()):
         img = _render(scene, cfg, cam)
         write_image(os.path.join(GOLDEN_DIR, name + ".png"), img)
         print(f"wrote {name}.png (mean {img.mean():.4f})")
+    flat, cfg, cam = _terrain_setup()
+    img = np.asarray(render_image(flat, cfg, cam))
+    write_image(os.path.join(GOLDEN_DIR, "g5_terrain_depth.png"), img)
+    print(f"wrote g5_terrain_depth.png (mean {img.mean():.4f})")
 
 
 if __name__ == "__main__":

@@ -239,3 +239,116 @@ class TestInstanceHierarchy:
         m = np.asarray(h1.hit)
         np.testing.assert_allclose(np.asarray(h1.t_world)[m],
                                    np.asarray(h2.t_world)[m], rtol=1e-5)
+
+
+class TestScanInstancing:
+    """r5 scan-based instanced path (nearest_hit_instanced_scan): one
+    compiled pass per UNIQUE MESH regardless of instance count, in-graph
+    front-to-back ordering, exact parity with the unrolled path."""
+
+    def test_matches_unrolled_and_baked(self, grid64=None):
+        from raytpu.accel.instanced import nearest_hit_instanced_scan
+
+        sphere = uv_sphere(radius=0.45, stacks=6, slices=10,
+                           material=Material())
+        bake = _bake_single(sphere)
+        placements = [(float(gx * 4 - 14), 0.5, float(gz * 4 - 14))
+                      for gz in range(8) for gx in range(8)]
+        instances = [
+            make_instance(0, _world((1.0, 1.0, 1.0), (0.0, 0.0, 0.0), p))
+            for p in placements
+        ]
+        baked = Scene(objects=[
+            SceneObject(meshes=[uv_sphere(radius=0.45, stacks=6, slices=10,
+                                          material=Material())],
+                        position=p)
+            for p in placements
+        ]).flatten(build_octree=False, cluster_size=16)
+
+        eye = np.array([-16.0, 1.0, -16.0], np.float32)
+        targets = np.array(placements[:12], np.float32)
+        rng = np.random.default_rng(5)
+        pts = targets[rng.integers(0, 12, size=96)]
+        pts += rng.normal(0, 0.3, pts.shape).astype(np.float32)
+        o = jnp.asarray(np.tile(eye, (96, 1)))
+        d = pts - np.asarray(o)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+        h, stats = nearest_hit_instanced_scan(
+            [bake], instances, o, d, intersector=Intersector.BRUTE,
+            return_stats=True)
+        hb = nearest_hit_brute(baked, o, d, block=256)
+        np.testing.assert_array_equal(np.asarray(h.hit),
+                                      np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        np.testing.assert_allclose(np.asarray(h.t_world)[m],
+                                   np.asarray(hb.t)[m], rtol=1e-4,
+                                   atol=1e-4)
+        # Winning instance indices must be ORIGINAL positions.
+        winners = np.asarray(h.instance)[m]
+        assert winners.min() >= 0 and winners.max() < 64
+        # Runtime pruning still holds under the scan.
+        live_passes = int((np.asarray(stats) > 0).sum())
+        assert live_passes <= 16, (live_passes,)
+
+    def test_traced_program_is_sublinear_in_instances(self):
+        """The jaxpr of the scan path must not grow with the instance
+        count (one pass per unique mesh), unlike the unrolled path."""
+        import jax
+
+        from raytpu.accel.instanced import nearest_hit_instanced_scan
+
+        sphere = uv_sphere(radius=0.45, stacks=4, slices=8,
+                           material=Material())
+        bake = _bake_single(sphere)
+
+        def make(n):
+            placements = [(float(i * 3), 0.5, 0.0) for i in range(n)]
+            return [
+                make_instance(0, _world((1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
+                                        p))
+                for p in placements
+            ]
+
+        o, d = _rays(32, seed=3)
+
+        def size_of(n):
+            jx = jax.make_jaxpr(
+                lambda oo, dd: nearest_hit_instanced_scan(
+                    [bake], make(n), oo, dd,
+                    intersector=Intersector.BRUTE))(o, d)
+            return len(str(jx))
+
+        s8, s64 = size_of(8), size_of(64)
+        assert s64 < s8 * 1.2, (s8, s64)
+
+    def test_ignore_tri_per_instance(self):
+        from raytpu.accel.instanced import (nearest_hit_instanced,
+                                            nearest_hit_instanced_scan)
+
+        sphere = uv_sphere(radius=0.8, stacks=6, slices=10,
+                           material=Material())
+        bake = _bake_single(sphere)
+        instances = [
+            make_instance(0, _world((1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
+                                    (float(i * 2 - 2), 0.0, 0.0)))
+            for i in range(3)
+        ]
+        o, d = _rays(48, seed=11)
+        h0 = nearest_hit_instanced_scan([bake], instances, o, d,
+                                        intersector=Intersector.BRUTE)
+        itri = np.asarray(h0.tri)
+        iinst = np.asarray(h0.instance)
+        h1 = nearest_hit_instanced_scan(
+            [bake], instances, o, d, ignore_tri=jnp.asarray(itri),
+            ignore_instance=jnp.asarray(iinst),
+            intersector=Intersector.BRUTE)
+        h2 = nearest_hit_instanced(
+            [bake], instances, o, d, ignore_tri=jnp.asarray(itri),
+            ignore_instance=jnp.asarray(iinst),
+            intersector=Intersector.BRUTE)
+        np.testing.assert_array_equal(np.asarray(h1.hit),
+                                      np.asarray(h2.hit))
+        m = np.asarray(h1.hit)
+        np.testing.assert_allclose(np.asarray(h1.t_world)[m],
+                                   np.asarray(h2.t_world)[m], rtol=1e-5)

@@ -196,3 +196,91 @@ class TestShadowFromLight:
         img_b = np.asarray(render_image(
             flat, dataclasses.replace(cfg, shadow_from_light=False), cam))
         np.testing.assert_array_equal(img_a, img_b)
+
+
+class TestShadowClearance:
+    """Per-block shadow clearance (accel/shadowcull.py, r5): the reversed
+    spot query starts at light + t_min*dir and the directional query caps
+    t_max at the own-block exit — both EXACT (every possible occluder
+    provably inside the searched segment)."""
+
+    def test_spot_parity_with_real_occlusion(self):
+        import dataclasses
+
+        scene = sphere_and_plane_scene(reflect=0.0, textured=True)
+        flat = scene.flatten(build_octree=False, cluster_size=16)
+        cfg = small_cfg(width=32, height=32, max_reflections=0,
+                        intersector=Intersector.TILED, tile_pixels=256,
+                        quantize=Quantize.NONE)
+        cam = default_camera()
+        img_on = np.asarray(render_image(flat, cfg, cam))
+        img_off = np.asarray(render_image(
+            flat, dataclasses.replace(cfg, shadow_clearance=False), cam))
+        # The scene must actually exercise shadows.
+        assert (img_on.max(-1) == 0).sum() > 100
+        np.testing.assert_array_equal(img_on, img_off)
+
+    def test_directional_parity(self):
+        import dataclasses
+
+        from raytpu.scene.lights import DirectionalLight
+        from raytpu.scene.types import Scene
+
+        base = sphere_and_plane_scene(reflect=0.0)
+        scene = Scene(objects=base.objects,
+                      lights=[DirectionalLight(direction=(0.3, -0.8, -0.5))])
+        flat = scene.flatten(build_octree=False, cluster_size=16)
+        cfg = small_cfg(width=32, height=32, max_reflections=0,
+                        intersector=Intersector.TILED, tile_pixels=256,
+                        quantize=Quantize.NONE)
+        cam = default_camera()
+        img_on = np.asarray(render_image(flat, cfg, cam))
+        img_off = np.asarray(render_image(
+            flat, dataclasses.replace(cfg, shadow_clearance=False), cam))
+        np.testing.assert_array_equal(img_on, img_off)
+
+    def test_clearance_lower_bounds_every_occluder(self):
+        """Soundness probe: for random fragments, EVERY brute-force
+        occluder along the light segment sits at light-distance >=
+        min(D(own block), own-block entry) — the exactness invariant the
+        query shift relies on."""
+        import jax.numpy as jnp
+
+        from raytpu.accel.shadowcull import (clearance_spot,
+                                             own_block_entry_exit)
+        from raytpu.accel.traverse import nearest_hit_brute
+
+        flat = sphere_and_plane_scene(reflect=0.0).flatten(
+            build_octree=False, cluster_size=16)
+        cl = flat.clusters
+        lp = np.asarray([0.0, 5.0, 20.0], np.float32)
+        dvals = np.asarray(clearance_spot(cl, lp))
+
+        rng = np.random.default_rng(12)
+        tri_ids = rng.integers(0, flat.num_tris, size=64)
+        v1 = np.asarray(flat.tri_v1)[tri_ids]
+        e1 = np.asarray(flat.tri_e1)[tri_ids]
+        e2 = np.asarray(flat.tri_e2)[tri_ids]
+        w1 = rng.uniform(0, 1, 64).astype(np.float32)
+        w2 = (rng.uniform(0, 1, 64) * (1 - w1)).astype(np.float32)
+        frag = v1 + e1 * w1[:, None] + e2 * w2[:, None]
+        vec = frag - lp
+        dist = np.linalg.norm(vec, axis=-1)
+        dirs = vec / dist[:, None]
+
+        b_id, t_en, _ = own_block_entry_exit(
+            cl, cl["tri_block"], jnp.asarray(tri_ids, jnp.int32),
+            jnp.asarray(np.broadcast_to(lp, frag.shape).copy()),
+            jnp.asarray(dirs))
+        t_min = np.minimum(dvals[np.asarray(b_id)],
+                           np.maximum(np.asarray(t_en), 0.0))
+
+        # March each segment with brute nearest hits to enumerate real
+        # occluder distances; each must be >= its ray's bound.
+        o = jnp.asarray(np.broadcast_to(lp, frag.shape).copy())
+        d = jnp.asarray(dirs)
+        h = nearest_hit_brute(flat, o, d, cull=False, block=256)
+        hit = np.asarray(h.hit) & (np.asarray(h.t) < dist - 1e-4)
+        assert hit.any()  # the probe must see real occluders
+        viol = hit & (np.asarray(h.t) < t_min - 1e-5)
+        assert not viol.any(), np.asarray(h.t)[viol]
