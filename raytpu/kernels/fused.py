@@ -888,8 +888,8 @@ def _prepick_kernel(
 def _tlane_kernel(
     root_ref,  # (1, 8) SMEM
     rays,      # (ROWS, TS) VMEM packed rays (lane-major rows)
-    saabb,     # (SUBK, 6, 8, NC8) VMEM per-sibling AABB cull planes
-    *args,     # [splane (SUBK, 5, 8, NC8)] block_hbm, outputs, scratch
+    saabb,     # (SUBK*6, 8, NC8) VMEM per-sibling AABB cull planes
+    *args,     # [splane (SUBK*5, 8, NC8)] block_hbm, outputs, scratch
     cull,
     any_hit: bool,
     nc: int,
@@ -948,16 +948,22 @@ def _tlane_kernel(
     if use_plane:
         splane = args[0]
         i_arg = 1
-    (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
-     ent, esub, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref, bi_ref,
-     qk, qv, qs, buf, sem) = args[i_arg:]
+    if subk > 1:
+        (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
+         ent, esub, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref,
+         bi_ref, qk, qv, qs, buf, sem) = args[i_arg:]
+    else:
+        (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
+         ent, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref,
+         bi_ref, qk, qv, buf, sem) = args[i_arg:]
+        esub = qs = None
 
     ts = rays.shape[1]
     c = buf.shape[2]
     csub = c // subk
     f32 = jnp.float32
     i32 = jnp.int32
-    nc8 = saabb.shape[3]
+    nc8 = saabb.shape[2]
 
     from raytpu.core.intersect import (det_space_accept,
                                        det_space_accept_within)
@@ -979,12 +985,18 @@ def _tlane_kernel(
     flat_io = row_io * nc8 + col_io
     valid_col = flat_io < nc
 
+    # Per-sibling cull tables ride as flat 3D (SUBK*6, 8, NC8) rows —
+    # 4D VMEM blocks measured ~2.6x slower end-to-end on v5e (r5lab3) —
+    # and _entry_grid indexes them through row tuples.
     bounds = _tile_bounds_lm(finite, (oxr, oyr, ozr), (dxr, dyr, dzr))
     e_min = None
     for h in range(subk):
-        e_h = _entry_grid(saabb[h], valid_col, bounds, tile_tmax,
-                          plane=(splane[h] if use_plane else None))
-        esub[h] = e_h
+        ab_h = tuple(saabb[h * 6 + k] for k in range(6))
+        pl_h = (tuple(splane[h * 5 + j] for j in range(5))
+                if use_plane else None)
+        e_h = _entry_grid(ab_h, valid_col, bounds, tile_tmax, plane=pl_h)
+        if subk > 1:
+            esub[h] = e_h
         e_min = e_h if e_min is None else jnp.minimum(e_min, e_h)
     ent[:, :] = e_min
 
@@ -1230,13 +1242,16 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             raise ValueError(
                 "layout='t' is incompatible with mxu/pretest/recull_every/"
                 "prepick")
-        # Subcluster cull tables: saabb (SUBK, 6, 8, NC8) per-sibling AABBs
-        # (None => csize-128 bake; the block-level aabb stands in), splane
-        # fitted-plane rows (None or plane=False => slab-only cull).
+        # Subcluster cull tables ride as FLAT 3D rows — (SUBK*6, 8, NC8) —
+        # not 4D blocks: 4D VMEM residency measured ~2.6x slower
+        # end-to-end on v5e (tools/r5lab3; the unchanged row kernel was
+        # unaffected in the same process).  saabb None => csize-128 bake;
+        # the block-level aabb stands in.  splane: fitted-plane rows
+        # (None or plane=False => slab-only cull).
         subk = int(saabb.shape[0]) if saabb is not None else 1
         use_plane = bool(plane) and splane is not None
-        saabb_eff = (saabb if saabb is not None
-                     else aabb.reshape(1, 6, 8, nc8))
+        saabb_eff = (saabb.reshape(subk * 6, 8, nc8)
+                     if saabb is not None else aabb)
         kernel = functools.partial(
             _tlane_kernel, cull=cull, any_hit=any_hit, nc=nc,
             k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
@@ -1245,20 +1260,20 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
         # Constant index maps: cull tables stay VMEM-resident across grid
         # steps instead of re-streaming per tile.
         in_specs = base_specs + [
-            pl.BlockSpec((subk, 6, 8, nc8), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((subk * 6, 8, nc8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         call_inputs = [root, rays_packed, saabb_eff]
         if use_plane:
             in_specs.append(
-                pl.BlockSpec((subk, 5, 8, nc8), lambda i: (0, 0, 0, 0),
+                pl.BlockSpec((subk * 5, 8, nc8), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM))
-            call_inputs.append(splane)
+            call_inputs.append(splane.reshape(subk * 5, 8, nc8))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         call_inputs.append(block)
         scratch = [
             pltpu.VMEM((8, nc8), f32),        # ent (block-level picks)
-            pltpu.VMEM((subk, 8, nc8), f32),  # esub per-sibling entries
+        ] + ([pltpu.VMEM((subk, 8, nc8), f32)] if subk > 1 else []) + [
             pltpu.VMEM((1, ts), f32),    # bt
             pltpu.VMEM((1, ts), i32),    # bc
             pltpu.VMEM((1, ts), f32),    # rs
@@ -1268,7 +1283,8 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             pltpu.VMEM((1, ts), f32),    # bi
             pltpu.SMEM((ngrp * chunk_k,), i32),
             pltpu.SMEM((ngrp * chunk_k,), f32),
-            pltpu.SMEM((ngrp * chunk_k * subk,), f32),  # qs sibling bounds
+        ] + ([pltpu.SMEM((ngrp * chunk_k * subk,), f32)]
+             if subk > 1 else []) + [
             pltpu.VMEM((ngrp * chunk_k, 32, csize), f32),
             pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
         ]
@@ -1430,7 +1446,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       ngrp: int = NGRP, mxu=None, recull_every: int = 0,
                       pretest: bool = False, phase1_trips: int = 0,
                       prepick: int = 0, nbuf: int = 4, layout=None,
-                      plane=None, gate: bool = True,
+                      plane=None, gate: bool = False,
                       return_iters: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.

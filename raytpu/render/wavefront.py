@@ -254,12 +254,21 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
                 dvals = clearance_spot(clr, lt["position"][i])
                 b_id, t_en, _ = own_block_entry_exit(
                     clr, clr["tri_block"], hit_tri, origin_q, dir_q)
-                tmin = jnp.minimum(dvals[b_id], jnp.maximum(t_en, 0.0))
+                t_en = jnp.maximum(t_en, 0.0)
+                # BINARY shift: all-or-nothing per ray.  Blending
+                # (tmin = min(D, entry)) measured SLOWER — rays shifted
+                # by varying partial distances land mixed origins in one
+                # cull tile and the origin box balloons (tools/r5lab4).
+                # Shift only rays whose whole far field is provably
+                # clear; tiles of block-coherent fragments then agree.
+                clear_ray = dvals[b_id] >= t_en
                 # Conservative shave: fp rounding in the clearance sweep
                 # and the slab entry must never push the start past a
                 # real occluder.
-                tmin = jnp.clip(tmin * (1.0 - 1e-4) - 1e-4, 0.0, None)
-                tmin = jnp.where(lit, tmin, 0.0)
+                tmin = jnp.where(lit & clear_ray,
+                                 jnp.clip(t_en * (1.0 - 1e-4) - 1e-4,
+                                          0.0, None),
+                                 0.0)
                 origin_q = origin_q + tmin[..., None] * dir_q
                 tmax_q = sdist - tmin
             shadow = query(
