@@ -34,8 +34,20 @@ shrinks to its own block's AABB exit (suffix emptiness — the only sound
 cap in that parametrization).
 
 Everything here runs IN-GRAPH per frame (one (NCB, NCB) interval sweep,
-~60M lane-ops at the bench's 7.8k blocks — VPU milliseconds), so moving
-lights or refitted geometry can never use a stale table.
+~60M lane-ops at the bench's 7.8k blocks), so moving lights or refitted
+geometry can never use a stale table.
+
+**Measured outcome (v5e, tools/r5lab6 — why this is DEFAULT-OFF)**: on
+the 1M-tri bench terrain only ~0.4% of shadow rays have a provably clear
+far field — a block-level cone from an elevated light to a terrain patch
+sweeps over many other hills that never occlude the actual rays, so
+D(b) < own-entry almost everywhere.  Worse, the few shifted rays scatter
+across cull tiles and the mixed origins balloon the tile origin boxes
+(2.2x slower query), and the per-ray block-id/AABB gathers cost ~140 ms
+per 1M rays (XLA row-gather bound ~140 ns/row).  The technique is exact
+and stays available (cfg.shadow_clearance) for sparse scenes — isolated
+occluders over open floor — at moderate ray counts, where the clear
+fraction approaches 1 and tiles shift coherently.
 """
 
 from __future__ import annotations

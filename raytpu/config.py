@@ -158,9 +158,15 @@ class RenderConfig:
     # fragment's own block can occlude it; reversed spot queries then
     # start at light + t_min*dir (directional queries cap t_max at the
     # own-block exit when nothing lies beyond).  Exact — every possible
-    # occluder is provably inside the searched segment; on lit open
-    # scenes the walk collapses to the fragment's own neighborhood.
-    shadow_clearance: bool = True
+    # occluder is provably inside the searched segment.  DEFAULT OFF:
+    # on the 1M-tri bench terrain only 0.4% of rays have a provably
+    # clear far field (block-level cones are much fatter than rays over
+    # hilly ground), the scattered shifted origins poison their cull
+    # tiles, and the per-ray block-id/AABB gathers cost ~140 ms per 1M
+    # rays on v5e (XLA row-gather bound) — measured net-negative
+    # (tools/r5lab6, docs/PERF.md r5).  Worth enabling for sparse scenes
+    # (isolated objects over a floor) at moderate ray counts.
+    shadow_clearance: bool = False
     # Differentiable mode: the discrete nearest-hit result is
     # stop-gradiented and (u, v, t) are recomputed from the hit triangle so
     # pixel gradients flow to geometry/normals/UVs/materials/texels through

@@ -213,9 +213,9 @@ class TestShadowClearance:
                         intersector=Intersector.TILED, tile_pixels=256,
                         quantize=Quantize.NONE)
         cam = default_camera()
-        img_on = np.asarray(render_image(flat, cfg, cam))
-        img_off = np.asarray(render_image(
-            flat, dataclasses.replace(cfg, shadow_clearance=False), cam))
+        img_on = np.asarray(render_image(
+            flat, dataclasses.replace(cfg, shadow_clearance=True), cam))
+        img_off = np.asarray(render_image(flat, cfg, cam))
         # The scene must actually exercise shadows.
         assert (img_on.max(-1) == 0).sum() > 100
         np.testing.assert_array_equal(img_on, img_off)
@@ -234,9 +234,9 @@ class TestShadowClearance:
                         intersector=Intersector.TILED, tile_pixels=256,
                         quantize=Quantize.NONE)
         cam = default_camera()
-        img_on = np.asarray(render_image(flat, cfg, cam))
-        img_off = np.asarray(render_image(
-            flat, dataclasses.replace(cfg, shadow_clearance=False), cam))
+        img_on = np.asarray(render_image(
+            flat, dataclasses.replace(cfg, shadow_clearance=True), cam))
+        img_off = np.asarray(render_image(flat, cfg, cam))
         np.testing.assert_array_equal(img_on, img_off)
 
     def test_clearance_lower_bounds_every_occluder(self):
