@@ -242,21 +242,13 @@ def _fused_kernel(
     root_ref,  # (1, 8) SMEM: root_min xyz, root_max xyz, margin, pad
     rays,      # (ROWS, TS) VMEM packed rays (column slice of (ROWS, R))
     aabb,      # (6, 8, NC8) VMEM cluster AABBs (min xyz, max xyz planes)
-    block_hbm,  # (NC, 24, C) ANY packed cluster geometry
-    out_t, out_code, out_uvt, out_res, out_iters,  # outputs
-    ent,       # (8, NC8) VMEM scratch: remaining entry bounds
-    done,      # (8, NC8) VMEM scratch: 1.0 where the cluster was picked
-    bt_ref,    # (TS, 1) VMEM scratch: per-ray best hit distance
-    bc_ref,    # (TS, 1) VMEM scratch: per-ray best slot code
-    rs_ref,    # (TS, 1) VMEM scratch: 1.0 where the ray is resolved
-    bu_ref,    # (TS, 1) VMEM scratch: winner udet (uvt mode)
-    bv_ref,    # (TS, 1) VMEM scratch: winner vdet (uvt mode)
-    bd_ref,    # (TS, 1) VMEM scratch: winner det (uvt mode)
-    bi_ref,    # (TS, 1) VMEM scratch: winner triangle id as f32 (uvt mode)
-    qk, qv,    # (NGRP*K,) SMEM scratch: DMA queue cluster ids / entry bounds
-    buf,       # (NGRP*K, 24, C) VMEM scratch (slot = grp*K + j)
-    sem,       # DMA semaphores (NGRP*K,)
-    *,
+    *args,     # [splane (5, 8, NC8)] block_hbm, outputs, scratch:
+               # block_hbm (NC, 24, C) ANY packed cluster geometry;
+               # out_t, out_code, out_uvt, out_res, out_iters;
+               # ent  (8, NC8) VMEM: remaining entry bounds
+               # done (8, NC8) VMEM: 1.0 where the cluster was picked
+               # bt/bc/rs/bu/bv/bd/bi (TS, 1) VMEM per-ray state
+               # qk, qv (NGRP*K,) SMEM DMA queue; buf; sem
     cull: bool,
     any_hit: bool,
     nc: int,
@@ -269,7 +261,17 @@ def _fused_kernel(
     pretest: bool = False,
     max_trips: int = 0,
     uvt: bool = False,
+    use_plane: bool = False,
 ):
+    i_arg = 0
+    splane = None
+    if use_plane:
+        splane = args[0]
+        i_arg = 1
+    (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
+     ent, done, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref, bi_ref,
+     qk, qv, buf, sem) = args[i_arg:]
+
     ts = rays.shape[1]
     nc8 = aabb.shape[2]
     c = buf.shape[2] // 4 if mxu else buf.shape[2]
@@ -305,10 +307,13 @@ def _fused_kernel(
     flat_io = row_io * nc8 + col_io
     valid_col = flat_io < nc  # padding columns are never feasible
 
+    pl_rows = (tuple(splane[j] for j in range(5)) if use_plane else None)
+
     def entry_grid(m, wcap):
         return _entry_grid(aabb, valid_col,
                            _tile_bounds_lm(m, (oxr, oyr, ozr),
-                                           (dxr, dyr, dzr)), wcap)
+                                           (dxr, dyr, dzr)), wcap,
+                           plane=pl_rows)
 
     ent[:, :] = entry_grid(finite, tile_tmax)
     done[:, :] = jnp.zeros((8, nc8), f32)
@@ -1317,12 +1322,17 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
         ]
         call_inputs = [root, rays_packed, aabb, block]
     else:
+        # Block-level plane cull for the classic kernel: only csize-128
+        # bakes carry block-granularity plane rows (sub_plane with
+        # subk == 1); subcluster bakes' leaf planes cannot be combined.
+        use_plane_row = (bool(plane) and splane is not None
+                         and int(splane.shape[0]) == 1)
         kernel = functools.partial(
             _fused_kernel, cull=cull, any_hit=any_hit, nc=nc,
             k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
             mxu=mxu, mxu_precision=mxu_precision,
             recull_every=recull_every, pretest=pretest,
-            max_trips=max_trips, uvt=uvt)
+            max_trips=max_trips, uvt=uvt, use_plane=use_plane_row)
         scratch = [
             pltpu.VMEM((8, nc8), f32),
             pltpu.VMEM((8, nc8), f32),
@@ -1343,9 +1353,15 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             # across grid steps instead of re-streaming per tile.
             pl.BlockSpec((6, 8, nc8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
         ]
-        call_inputs = [root, rays_packed, aabb, block]
+        call_inputs = [root, rays_packed, aabb]
+        if use_plane_row:
+            in_specs.append(
+                pl.BlockSpec((5, 8, nc8), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            call_inputs.append(splane.reshape(5, 8, nc8))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        call_inputs.append(block)
 
     outs = pl.pallas_call(
         kernel,
@@ -1570,6 +1586,9 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
     if layout == "t":
         kw.update(saabb=cl.get("sub_aabb"), splane=cl.get("sub_plane"),
                   plane=bool(plane), gate=gate)
+    elif not prepick:
+        # Classic/row kernel: block-level plane cull (csize-128 bakes).
+        kw.update(splane=cl.get("sub_plane"), plane=bool(plane))
     if prepick > 0 and phase1_trips > 0:
         raise ValueError("prepick and phase1_trips are mutually exclusive "
                          "overflow strategies")

@@ -611,3 +611,47 @@ class TestSubclusterKernel:
             pts = np.concatenate(
                 [v1[sl][m], (v1 + e1)[sl][m], (v1 + e2)[sl][m]])
             assert np.abs(pts @ n - d0).max() <= eps
+
+
+class TestRowPlaneCull:
+    """r5: the classic row kernel's block-level plane cull (csize-128
+    bakes reuse the sub_plane rows at block granularity; subcluster bakes
+    are guarded off — leaf planes cannot be combined)."""
+
+    def test_row_plane_matches_brute(self, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        flat = sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=128)
+        o = jnp.asarray(
+            rng.uniform(-20, 20, size=(96, 3)).astype(np.float32))
+        o = o.at[:, 1].set(jnp.abs(o[:, 1]) + 0.5)
+        d = rng.normal(size=(96, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        for knobs in (dict(), dict(pretest=True, recull_every=2)):
+            hf = nearest_hit_fused(flat, o, d, tile_size=32, layout="row",
+                                   plane=True, interpret=True, **knobs)
+            np.testing.assert_array_equal(np.asarray(hb.hit),
+                                          np.asarray(hf.hit))
+            m = np.asarray(hb.hit)
+            np.testing.assert_array_equal(np.asarray(hb.tri)[m],
+                                          np.asarray(hf.tri)[m])
+
+    def test_subcluster_bake_guards_row_plane_off(self, rng):
+        from raytpu.accel.traverse import nearest_hit_brute
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        flat = sphere_and_plane_scene().flatten(
+            build_octree=False, cluster_size=64)
+        o = jnp.asarray(
+            rng.uniform(-20, 20, size=(64, 3)).astype(np.float32))
+        o = o.at[:, 1].set(jnp.abs(o[:, 1]) + 0.5)
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        hb = nearest_hit_brute(flat, o, d, block=128)
+        hf = nearest_hit_fused(flat, o, d, tile_size=32, layout="row",
+                               plane=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.hit),
+                                      np.asarray(hf.hit))
