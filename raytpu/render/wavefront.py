@@ -143,8 +143,12 @@ def _gather_tri(scene: FlatScene, tri, grad_channels: str = "all"):
     }
 
 
-def _surface_color(scene: FlatScene, cfg: RenderConfig, tri_data, mat, u, v):
-    """Texture lookup or per-triangle color (RayTracer.cs:568-581)."""
+def _surface_color(scene: FlatScene, cfg: RenderConfig, tri_data, mat, u, v,
+                   texel_fetch=None):
+    """Texture lookup or per-triangle color (RayTracer.cs:568-581).
+
+    ``texel_fetch``: injected texel backend (ring-sharded >HBM atlases,
+    dist/bigscene.py); None = the replicated atlas array."""
     base = tri_data["color"][..., :3]
     if not scene.has_textures:
         return base
@@ -157,7 +161,8 @@ def _surface_color(scene: FlatScene, cfg: RenderConfig, tri_data, mat, u, v):
     h = scene.tex_hw[tex_id, 0]
     w = scene.tex_hw[tex_id, 1]
     tex = texture_mod.lookup_uv(
-        scene.textures, tex_id, h, w, uv, cfg.address_mode, cfg.filtering
+        scene.textures, tex_id, h, w, uv, cfg.address_mode, cfg.filtering,
+        fetch=texel_fetch,
     )
     use = scene.mat_use_texture[mat] & (scene.mat_texture[mat] >= 0)
     return jnp.where(use[..., None], tex, base)
@@ -347,7 +352,7 @@ def _light_result(scene: FlatScene, cfg: RenderConfig, frag_pos, normal,
 
 def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
                  is_max_level: bool, capture_hits: bool = False,
-                 query=None, gather=_gather_tri):
+                 query=None, gather=_gather_tri, texel_fetch=None):
     """One wavefront level: intersect + shade + spawn children.
 
     ``capture_hits``: additionally return ``(hit, frag_pos)`` so debug
@@ -435,7 +440,8 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
 
     light = _light_result(scene, cfg, frag_pos, normal, tri, mask, query,
                           gather)
-    surface = _surface_color(scene, cfg, td, mat, hit.u, hit.v)
+    surface = _surface_color(scene, cfg, td, mat, hit.u, hit.v,
+                             texel_fetch=texel_fetch)
 
     refl = scene.mat_reflect[mat][..., None]
     alpha = td["color"][..., 3]
@@ -552,7 +558,8 @@ def debug_mode_colors(scene: FlatScene, cfg: RenderConfig, origin, direction):
 
 
 def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
-                 alive=None, query=None, gather=_gather_tri):
+                 alive=None, query=None, gather=_gather_tri,
+                 texel_fetch=None):
     """Batched CastRay: colors for an arbitrary set of primary rays.
 
     Implements the full recursion of RayTracer.CastRay as a forward
@@ -592,7 +599,8 @@ def trace_colors(scene: FlatScene, cfg: RenderConfig, origin, direction,
     for level in range(cfg.max_reflections + 1):
         is_max = level == cfg.max_reflections
         record, children = _trace_level(scene, cfg, rays, is_max,
-                                        query=query, gather=gather)
+                                        query=query, gather=gather,
+                                        texel_fetch=texel_fetch)
         if not is_max:
             refl_rays, refr_rays = children
             if dual:

@@ -47,12 +47,17 @@ def address_uv(uv, mode: UVAddressMode):
     raise ValueError(mode)
 
 
-def sample_point(images, tex_id, height, width, uv):
+def sample_point(images, tex_id, height, width, uv, fetch=None):
     """Point filtering (Material.cs:145-160).
 
     ``images``: (T, H_pad, W_pad, 3) raw byte values; ``tex_id``: (...,)
     int32 per-sample texture index; ``height/width``: (...,) true sizes
     (gathered from ``tex_hw``); ``uv``: (..., 2) addressed UVs.
+
+    ``fetch(tex_id, y, x) -> (..., 3)`` raw bytes (optional): texel
+    backend injection — the ring-sharded >HBM atlas path
+    (dist/bigscene.py::make_texel_fetch_ring) resolves texels from
+    shards; ``images`` may then be None.
     """
     wf = (width - 1).astype(jnp.float32)
     hf = (height - 1).astype(jnp.float32)
@@ -60,7 +65,9 @@ def sample_point(images, tex_id, height, width, uv):
     y = jnp.trunc(uv[..., 1] * hf).astype(jnp.int32)
     x = jnp.clip(x, 0, width - 1)
     y = jnp.clip(y, 0, height - 1)
-    return images[tex_id, y, x] * BYTE_RECIPROCAL
+    if fetch is None:
+        fetch = lambda t, yy, xx: images[t, yy, xx]
+    return fetch(tex_id, y, x) * BYTE_RECIPROCAL
 
 
 def _ieee_remainder(x, y):
@@ -68,8 +75,10 @@ def _ieee_remainder(x, y):
     return x - y * jnp.rint(x / y)
 
 
-def sample_bilinear(images, tex_id, height, width, uv):
-    """Bilinear filtering with the reference's exact quirks (Material.cs:162-232)."""
+def sample_bilinear(images, tex_id, height, width, uv, fetch=None):
+    """Bilinear filtering with the reference's exact quirks (Material.cs:162-232).
+
+    ``fetch``: texel backend injection (see sample_point)."""
     wf = width.astype(jnp.float32)
     hf = height.astype(jnp.float32)
     texel_w = 1.0 / wf  # texelDensity (Material.cs:67)
@@ -86,10 +95,12 @@ def sample_bilinear(images, tex_id, height, width, uv):
     y = jnp.clip(y, 0, height - 1)
     x2 = jnp.clip(x2, 0, width - 1)
     y2 = jnp.clip(y2, 0, height - 1)
-    c_base = images[tex_id, y, x]
-    c_x = images[tex_id, y, x2]
-    c_y = images[tex_id, y2, x]
-    c_xy = images[tex_id, y2, x2]
+    if fetch is None:
+        fetch = lambda t, yy, xx: images[t, yy, xx]
+    c_base = fetch(tex_id, y, x)
+    c_x = fetch(tex_id, y, x2)
+    c_y = fetch(tex_id, y2, x)
+    c_xy = fetch(tex_id, y2, x2)
     # The reference's (buggy but replicated) +0.5 weights (Material.cs:221-224).
     dx = (rem_x * wf + 0.5)[..., None]
     dy = (rem_y * hf + 0.5)[..., None]
@@ -104,11 +115,14 @@ def sample_bilinear(images, tex_id, height, width, uv):
 
 
 def lookup_uv(images, tex_id, height, width, uv, address_mode: UVAddressMode,
-              filtering: TextureFiltering):
-    """Material.LookupUV (Material.cs:71-100)."""
+              filtering: TextureFiltering, fetch=None):
+    """Material.LookupUV (Material.cs:71-100).
+
+    ``fetch``: texel backend injection (see sample_point)."""
     uv = address_uv(uv, address_mode)
     if filtering == TextureFiltering.POINT:
-        return sample_point(images, tex_id, height, width, uv)
+        return sample_point(images, tex_id, height, width, uv, fetch=fetch)
     if filtering == TextureFiltering.BILINEAR:
-        return sample_bilinear(images, tex_id, height, width, uv)
+        return sample_bilinear(images, tex_id, height, width, uv,
+                               fetch=fetch)
     raise ValueError(filtering)

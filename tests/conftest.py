@@ -30,6 +30,9 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", "tests must run on host CPU"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a session-scoped stream makes every
+    # rng-using test depend on which tests ran before it (adding a test
+    # anywhere reshuffles everyone's draws — an order-dependent suite).
     return np.random.default_rng(0)

@@ -165,7 +165,9 @@ class TestRingRendering:
         property: no code path touches a replicated triangle table."""
         from raytpu.dist.bigscene import (render_image_ring,
                                           shard_scene_clusters,
-                                          shard_scene_shade, strip_for_ring)
+                                          shard_scene_shade,
+                                          shard_scene_textures,
+                                          strip_for_ring)
         from raytpu.dist.mesh import make_mesh
 
         fl = sphere_and_plane_scene(
@@ -181,10 +183,14 @@ class TestRingRendering:
         else:
             shards = shard_scene_clusters(fl, mesh)
             shade = shard_scene_shade(fl, mesh)
+            tex = shard_scene_textures(fl, mesh)
             stripped = strip_for_ring(fl)
             assert stripped.tri_shade is None and stripped.tri_v1 is None
+            # r5: the ATLAS is sharded too — no replicated big table left.
+            assert stripped.textures is None
             img_ring = np.asarray(render_image_ring(
-                stripped, cfg, cam, mesh, shards=shards, shade=shade))
+                stripped, cfg, cam, mesh, shards=shards, shade=shade,
+                texshards=tex))
         np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
 
 
@@ -203,6 +209,7 @@ class TestRingDifferentiable:
                                           make_ring_fit_step,
                                           shard_scene_clusters,
                                           shard_scene_shade,
+                                          shard_scene_textures,
                                           strip_for_ring)
         from raytpu.dist.mesh import make_mesh
         from raytpu.core.camera import camera_rays
@@ -232,11 +239,13 @@ class TestRingDifferentiable:
         mesh = make_mesh()
         shards = shard_scene_clusters(fl, mesh)
         shade = shard_scene_shade(fl, mesh)
+        tex = shard_scene_textures(fl, mesh)
         stripped = strip_for_ring(fl)
         params = extract_ring_params(fl, mesh)
         opt = optax.sgd(1.0)
         step = make_ring_fit_step(stripped, cfg, mesh, opt,
-                                  shards=shards, shade=shade)
+                                  shards=shards, shade=shade,
+                                  texshards=tex)
         new_params, _, loss_ring = step(params, opt.init(params), o, d,
                                         target)
 
@@ -295,3 +304,24 @@ def test_sharded_multisampled_matches_single_device(flat):
     img_one = np.asarray(render_image_multisampled(flat, cfg, cam))
     img_sh = np.asarray(render_image_sharded(flat, cfg, cam, mesh))
     np.testing.assert_allclose(img_sh, img_one, atol=1e-5)
+
+
+def test_ring_sharded_atlas_bilinear_parity(flat):
+    """Ring texel fetch (shard_scene_textures + make_texel_fetch_ring)
+    under BILINEAR filtering — four footprint gathers per ray resolve
+    from atlas shards with pixel parity vs the replicated atlas."""
+    import dataclasses
+
+    from raytpu.config import TextureFiltering
+    from raytpu.dist.bigscene import render_image_ring
+    from raytpu.dist.mesh import make_mesh
+
+    cfg = small_cfg(width=24, height=16, max_reflections=1,
+                    intersector=Intersector.TILED, tile_pixels=384,
+                    quantize=Quantize.NONE)
+    cfg = dataclasses.replace(cfg, filtering=TextureFiltering.BILINEAR)
+    cam = default_camera(aspect=24 / 16)
+    mesh = make_mesh()
+    img_rep = np.asarray(render_image(flat, cfg, cam))
+    img_ring = np.asarray(render_image_ring(flat, cfg, cam, mesh))
+    np.testing.assert_allclose(img_ring, img_rep, atol=1e-5)
