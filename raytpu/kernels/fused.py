@@ -81,6 +81,56 @@ INF = 3.4028235e38
 NGRP = 2
 ROWS = 16  # packed ray rows (o, d, tmax, itri, imesh, pad)
 
+# ---- Keyed picks -----------------------------------------------------------
+# The RPC-free walk decomposition (tools/r5lab13, v5e) attributed ~40% of a
+# walk trip to the argmin pick: TWO full-grid reduce->scalar chains (min of
+# the entries, then min of the matching ids) plus the clear pass, each ending
+# in a slow vector->scalar transfer.  The keyed pick folds the cluster id
+# into the LOW MANTISSA BITS of its entry bound: for non-negative f32, the
+# int32 bit pattern orders exactly like the float, so ONE int-min reduce
+# yields (floored entry, id) together and one scalar AND recovers each.
+#
+# Soundness: clearing the low ``kbits`` mantissa bits only LOWERS an entry
+# (by < 2^(kbits-23) relative, ~0.1% at 8k clusters), so every decoded pick
+# value remains a TRUE lower bound on any hit in that cluster, the pick
+# order stays nondecreasing in the floored keys, and the settle proof
+# (best_t <= v_next <= every untested cluster's true entry) is unaffected —
+# rays settle at most one trip later when best_t lands inside the floored
+# gap.  Exact-tie winners across clusters may resolve by a different pick
+# order than the unkeyed argmin (same documented tie freedom as chunk_k).
+# Infeasible/INF entries keep exponent 0xFF and decode back to INF; consumed
+# cells are cleared to INT32_MAX (> any INF key) and decode to INF too.
+_KEY_INF = 0x7F800000  # bit pattern of +inf
+_KEY_CLEAR = 0x7FFFFFFF
+
+
+def _key_bits(n_ids: int) -> int:
+    """Low-bit width reserved for ids 0..n_ids-1 (and the all-ones dummy)."""
+    b = 1
+    while (1 << b) < n_ids + 1:
+        b += 1
+    return b
+
+
+def _make_keys(grid_f32, flat_io, kbits: int):
+    """Fold grid cell ids into the low mantissa bits of the f32 entries."""
+    bits = jax.lax.bitcast_convert_type(grid_f32, jnp.int32)
+    return (bits & ~((1 << kbits) - 1)) | flat_io
+
+
+# Mosaic has no SCALAR bitcast, so picked keys are never decoded back to
+# f32 — the walk carries entry bounds as int32 keys end-to-end and every
+# comparison runs in key space, exact for non-negative floats:
+#   b <= v_floor      <=>  bitcast(b) <= (key & ~low_mask)     (vectors)
+#   v == INF/drained  <=>  key >= _KEY_INF                     (scalar int)
+# Resolved-lane sentinels (-INF) bitcast to a NEGATIVE int, which compares
+# below every non-negative key — exactly the order the masks need.
+
+
+def _f32_bits(x):
+    """Vector bitcast f32 -> int32 (key-space compare operand)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
 
 def _tile_bounds_lm(m, o_rows, d_rows):
     """Origin AABB + direction interval box over the rays in mask ``m``.
@@ -315,7 +365,8 @@ def _fused_kernel(
                                            (dxr, dyr, dzr)), wcap,
                            plane=pl_rows)
 
-    ent[:, :] = entry_grid(finite, tile_tmax)
+    kbits = _key_bits(8 * nc8)
+    ent[:, :] = _make_keys(entry_grid(finite, tile_tmax), flat_io, kbits)
     done[:, :] = jnp.zeros((8, nc8), f32)
 
     # ---- Chunked argmin walk with an ngrp-deep DMA pipeline ----
@@ -323,15 +374,19 @@ def _fused_kernel(
     kc = min(k_chunk, nc)
 
     def pick():
-        """Extract (entry, cluster) of the nearest remaining cluster."""
-        e = ent[:, :]
-        v = jnp.min(e)
-        k = jnp.min(jnp.where(e == v, flat_io, i32(nc)))
-        picked = flat_io == k
-        ent[:, :] = jnp.where(picked, INF, e)
+        """Extract (key, cluster) of the nearest remaining cluster.
+
+        Keyed single-reduce argmin (see the module-level keyed-pick note):
+        one int-min over the key grid replaces the old value-min + id-min
+        pair of reduce->scalar chains.  Returns the raw int32 key (entry
+        bound in the high bits) and the cluster id."""
+        ik = ent[:, :]
+        kv = jnp.min(ik)
+        picked = ik == kv  # keys are unique (id in the low bits)
+        ent[:, :] = jnp.where(picked, i32(_KEY_CLEAR), ik)
         # Mark consumed so a later re-cull cannot resurrect it.
         done[:, :] = jnp.where(picked, f32(1.0), done[:, :])
-        return v, k
+        return kv, kv & ((1 << kbits) - 1)
 
     def start_dma(slot, k):
         pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
@@ -585,19 +640,20 @@ def _fused_kernel(
 
         nxt = jax.lax.rem(i + 1, NG)
         v_next = qv[nxt * kc]
+        vn = v_next & ~((1 << kbits) - 1)  # floored bound, id bits stripped
         best_t = bt_ref[:, :]
         # A ray is resolved once its best hit provably precedes every
         # untested cluster (entries are picked in nondecreasing order, and
         # a re-cull only ever *raises* a remaining cluster's entry, so
         # v_next lower-bounds everything still untested).  Resolution is
         # final: monotone, and proved against the entries in force at the
-        # time.
+        # time.  Comparisons run in key space (module keyed-pick note).
         if any_hit:
             # Occlusion query: resolved = found *some* hit inside the
             # bound, or provably clear.
-            res_new = (bc_ref[:, :] >= 0) | (tmax0 <= v_next)
+            res_new = (bc_ref[:, :] >= 0) | (_f32_bits(tmax0) <= vn)
         else:
-            res_new = best_t <= v_next
+            res_new = _f32_bits(best_t) <= vn
         resolved = (rs_ref[:, :] > 0.0) | res_new
         rs_ref[:, :] = resolved.astype(f32)
 
@@ -613,19 +669,21 @@ def _fused_kernel(
                     ~resolved, jnp.minimum(best_t, tmax0), f32(-INF)))
                 unresolved_r = rs_ref[:, :].reshape(1, ts) <= 0.0
                 grid = entry_grid(finite & unresolved_r, wcap)
-                ent[:, :] = jnp.where(done[:, :] > 0.0, INF, grid)
+                ent[:, :] = jnp.where(done[:, :] > 0.0, i32(_KEY_CLEAR),
+                                      _make_keys(grid, flat_io, kbits))
 
         # Refill this group with the next K picks (to be tested at i+NG).
         pick_group(grp)
 
         settled = jnp.all(resolved)
-        cur_next = jnp.where(settled, INF, v_next)
+        cur_next = jnp.where(settled, i32(_KEY_CLEAR), v_next)
         return i + 1, cur_next
 
     def cond(state):
         # ``max_trips`` bounds the walk (two-phase driver: phase 1 runs on
         # a budget, survivors re-tile into phase 2); 0 = walk to settle.
-        live = state[1] < INF
+        # Drained/settled keys carry an INF exponent => >= _KEY_INF.
+        live = state[1] < _KEY_INF
         if max_trips:
             live &= state[0] < max_trips
         return live
@@ -1001,20 +1059,24 @@ def _tlane_kernel(
                 if use_plane else None)
         e_h = _entry_grid(ab_h, valid_col, bounds, tile_tmax, plane=pl_h)
         if subk > 1:
-            esub[h] = e_h
+            # Sibling bounds as raw f32 bit patterns: exact int order for
+            # the non-negative entries, no scalar bitcasts at the gate.
+            esub[h] = _f32_bits(e_h)
         e_min = e_h if e_min is None else jnp.minimum(e_min, e_h)
-    ent[:, :] = e_min
+    kbits = _key_bits(8 * nc8)
+    low_mask = (1 << kbits) - 1
+    ent[:, :] = _make_keys(e_min, flat_io, kbits)
 
     NG = ngrp
     kc = min(k_chunk, nc)
 
     def pick():
-        e = ent[:, :]
-        v = jnp.min(e)
-        k = jnp.min(jnp.where(e == v, flat_io, i32(nc)))
-        picked = flat_io == k
-        ent[:, :] = jnp.where(picked, INF, e)
-        return v, k, picked
+        # Keyed single-reduce argmin (module-level keyed-pick note).
+        ik = ent[:, :]
+        kv = jnp.min(ik)
+        picked = ik == kv  # keys are unique (id in the low bits)
+        ent[:, :] = jnp.where(picked, i32(_KEY_CLEAR), ik)
+        return kv, kv & low_mask, picked
 
     def start_dma(slot, k):
         pltpu.make_async_copy(block_hbm.at[k], buf.at[slot],
@@ -1034,10 +1096,10 @@ def _tlane_kernel(
             if subk > 1:
                 # Per-sibling entries ride the queue: the trip gates each
                 # sibling's pass on its OWN bound.  Dummy (exhausted)
-                # picks match no grid cell => all-INF => zero compute.
+                # picks match no grid cell => all-clear => zero compute.
                 for h in range(subk):
                     qs[slot * subk + h] = jnp.min(
-                        jnp.where(picked, esub[h], INF))
+                        jnp.where(picked, esub[h], i32(_KEY_CLEAR)))
             start_dma(slot, k_safe)
 
     for g in range(NG):
@@ -1072,8 +1134,11 @@ def _tlane_kernel(
         # measured pl.when around the uvt update slower than the work it
         # saved; results are identical either way).
         if gate:
-            capmax = jnp.max(jnp.where(rs_ref[:, :] > 0.0, f32(-INF),
-                                       jnp.minimum(bt_ref[:, :], tmax0)))
+            # Key-space cap: -INF sentinels bitcast to NEGATIVE ints, so
+            # they stay below every non-negative entry key under max.
+            capmax = jnp.max(_f32_bits(
+                jnp.where(rs_ref[:, :] > 0.0, f32(-INF),
+                          jnp.minimum(bt_ref[:, :], tmax0))))
         for j in range(kc):
             slot = grp * kc + j
             # One hardware transpose flips the fetched (32, C) block to
@@ -1134,28 +1199,32 @@ def _tlane_kernel(
 
             for h in range(subk):
                 if gate:
-                    vh = qs[slot * subk + h] if subk > 1 else qv[slot]
+                    # qv keys carry id bits: strip them so the bound never
+                    # overstates the true entry (skipping stays exact).
+                    vh = (qs[slot * subk + h] if subk > 1
+                          else qv[slot] & ~low_mask)
                     pl.when(vh < capmax)(functools.partial(do_sib, h))
                 else:
                     do_sib(h)
 
         nxt = jax.lax.rem(i + 1, NG)
         v_next = qv[nxt * kc]
+        vn = v_next & ~low_mask  # floored bound (key space)
         if any_hit:
-            res_new = (bc_ref[:, :] >= 0) | (tmax0 <= v_next)
+            res_new = (bc_ref[:, :] >= 0) | (_f32_bits(tmax0) <= vn)
         else:
-            res_new = bt_ref[:, :] <= v_next
+            res_new = _f32_bits(bt_ref[:, :]) <= vn
         resolved = (rs_ref[:, :] > 0.0) | res_new
         rs_ref[:, :] = resolved.astype(f32)
 
         pick_group(grp)
 
         settled = jnp.all(resolved)
-        cur_next = jnp.where(settled, INF, v_next)
+        cur_next = jnp.where(settled, i32(_KEY_CLEAR), v_next)
         return i + 1, cur_next
 
     def cond(state):
-        live = state[1] < INF
+        live = state[1] < _KEY_INF
         if max_trips:
             live &= state[0] < max_trips
         return live
@@ -1277,8 +1346,8 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         call_inputs.append(block)
         scratch = [
-            pltpu.VMEM((8, nc8), f32),        # ent (block-level picks)
-        ] + ([pltpu.VMEM((subk, 8, nc8), f32)] if subk > 1 else []) + [
+            pltpu.VMEM((8, nc8), i32),        # ent (keyed pick grid)
+        ] + ([pltpu.VMEM((subk, 8, nc8), i32)] if subk > 1 else []) + [
             pltpu.VMEM((1, ts), f32),    # bt
             pltpu.VMEM((1, ts), i32),    # bc
             pltpu.VMEM((1, ts), f32),    # rs
@@ -1286,9 +1355,9 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             pltpu.VMEM((1, ts), f32),    # bv
             pltpu.VMEM((1, ts), f32),    # bd
             pltpu.VMEM((1, ts), f32),    # bi
-            pltpu.SMEM((ngrp * chunk_k,), i32),
-            pltpu.SMEM((ngrp * chunk_k,), f32),
-        ] + ([pltpu.SMEM((ngrp * chunk_k * subk,), f32)]
+            pltpu.SMEM((ngrp * chunk_k,), i32),  # qk
+            pltpu.SMEM((ngrp * chunk_k,), i32),  # qv (int keys)
+        ] + ([pltpu.SMEM((ngrp * chunk_k * subk,), i32)]
              if subk > 1 else []) + [
             pltpu.VMEM((ngrp * chunk_k, 32, csize), f32),
             pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
@@ -1334,8 +1403,8 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             recull_every=recull_every, pretest=pretest,
             max_trips=max_trips, uvt=uvt, use_plane=use_plane_row)
         scratch = [
-            pltpu.VMEM((8, nc8), f32),
-            pltpu.VMEM((8, nc8), f32),
+            pltpu.VMEM((8, nc8), i32),  # ent (keyed pick grid)
+            pltpu.VMEM((8, nc8), f32),  # done
             pltpu.VMEM((ts, 1), f32),
             pltpu.VMEM((ts, 1), i32),
             pltpu.VMEM((ts, 1), f32),
@@ -1343,8 +1412,8 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             pltpu.VMEM((ts, 1), f32),
             pltpu.VMEM((ts, 1), f32),
             pltpu.VMEM((ts, 1), f32),
-            pltpu.SMEM((ngrp * chunk_k,), i32),
-            pltpu.SMEM((ngrp * chunk_k,), f32),
+            pltpu.SMEM((ngrp * chunk_k,), i32),  # qk
+            pltpu.SMEM((ngrp * chunk_k,), i32),  # qv (int keys)
             pltpu.VMEM((ngrp * chunk_k, 24, csize), f32),
             pltpu.SemaphoreType.DMA((ngrp * chunk_k,)),
         ]

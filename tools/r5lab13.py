@@ -179,10 +179,11 @@ def build(flat, nt, ts, mode, chain, ngrp=2):
 
     @jax.jit
     def go(packed):
-        acc = jnp.float32(0.0)
-        for _ in range(chain):
+        def step(acc, _):
             t, _it = once(packed + acc * 0.0)
-            acc = acc + t[0, 0, 0]
+            return acc + t[0, 0, 0], None
+
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=chain)
         return acc
 
     return go
