@@ -73,7 +73,8 @@ class ClusterTable:
     def as_device_arrays(self, tri_v1, tri_e1, tri_e2, tri_snormal, tri_mesh,
                          build_gblock: bool = False,
                          build_tblock: bool = True,
-                         build_plane: bool = True):
+                         build_plane: bool = True,
+                         shade_rows=None):
         """Device dict: cluster AABBs + triangle geometry permuted into Morton
         order (slot -> original id in ``tri_id``; padding slots are degenerate
         triangles with ``tri_id == -1`` that can never be hit).
@@ -313,6 +314,28 @@ class ClusterTable:
             tblock = np.concatenate(
                 [block, np.zeros((ncg, 8, lanes), np.float32)], axis=1)
 
+        # Cluster-ordered shade rows for the kernel's in-walk row resolve
+        # (kernels/fused.py): sblock[g, ch, j] = shade channel ch of the
+        # triangle in slot j of block g.  The XLA-side (R, 32) tri_shade
+        # gather measured ~59 ms per 1M rays on v5e — HALF the device
+        # frame (tools/r5lab16) — so the kernel resolves winner rows
+        # itself: per settled tile it DMAs the few winner blocks and
+        # extracts rows with an exact one-hot MXU contraction.  The mesh
+        # channel is stored as a float VALUE (not the tri_shade bitcast):
+        # the extraction splits f32 into three bf16 limbs, and bitcast
+        # int32 patterns are denormals that would flush to zero.
+        sblock = None
+        if shade_rows is not None and build_tblock:
+            safe2 = np.maximum(order, 0)
+            pad2 = order < 0
+            srows = np.asarray(shade_rows, np.float32)[safe2].copy()
+            srows[pad2] = 0.0
+            mesh_val = np.asarray(tri_mesh)[safe2].astype(np.float32)
+            mesh_val[pad2] = -1.0
+            srows[:, 31] = np.where(pad2, -1.0, mesh_val)
+            sblock = np.ascontiguousarray(
+                srows.reshape(ncg, lanes, 32).transpose(0, 2, 1))
+
         # NOTE: the fused kernel's uvt mode returns the winner's triangle
         # id as an exact f32 VALUE, which requires ids < 2^24 — enforced at
         # QUERY time (kernels/fused.py), not here: other backends (tiled,
@@ -349,6 +372,8 @@ class ClusterTable:
             out["gblock"] = jnp.asarray(gblock)
         if tblock is not None:
             out["tblock"] = jnp.asarray(tblock)
+        if sblock is not None:
+            out["sblock"] = jnp.asarray(sblock)
         if sub_aabb is not None:
             out["sub_aabb"] = jnp.asarray(sub_aabb)
         if sub_plane is not None:

@@ -244,7 +244,8 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
                 cull_chunk: int = 1, t_max=None,
                 any_hit: bool = False, cull_pretest: bool = True,
                 cull_recull: int = 6, cull_phase1: int = 0,
-                cull_prepick: int = 0, cull_nbuf: int = 4) -> Hit:
+                cull_prepick: int = 0, cull_nbuf: int = 4,
+                with_rows: bool = False) -> Hit:
     """Dispatch by configured intersector (config.Intersector).
 
     ``any_hit``: occlusion-query mode — the hit/no-hit boolean (against
@@ -253,6 +254,12 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
     (IsLightPathObstructed's early-out, RayTracer.cs:465-502).  Only valid
     when the caller uses nothing but ``Hit.hit``.  BRUTE/OCTREE ignore it
     (they return the nearest hit, whose boolean is identical).
+
+    ``with_rows``: return ``(Hit, rows)`` where ``rows`` is the winners'
+    (R, 32) shade-row table resolved in-kernel (PALLAS backend with an
+    ``sblock`` bake; None from every other backend — callers fall back to
+    the XLA tri_shade gather).  Channel 31 is the mesh id as a float
+    VALUE, not tri_shade's bitcast.
     """
     from raytpu.config import Intersector
 
@@ -284,23 +291,26 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
         else:
             mode = Intersector.BRUTE
     if mode == Intersector.BRUTE:
-        return nearest_hit_brute(
+        out = nearest_hit_brute(
             scene, origin, direction, ignore_tri, ignore_mesh, cull, block,
             t_max=t_max,
         )
+        return (out, None) if with_rows else out
     if mode == Intersector.OCTREE:
-        return nearest_hit_octree(
+        out = nearest_hit_octree(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             t_max=t_max,
         )
+        return (out, None) if with_rows else out
     if mode == Intersector.TILED:
         from raytpu.accel.tiled import nearest_hit_tiled
 
-        return nearest_hit_tiled(
+        out = nearest_hit_tiled(
             scene, origin, direction, ignore_tri, ignore_mesh, cull,
             tile_size=cull_tile, chunk=cull_chunk, t_max=t_max,
             any_hit=any_hit,
         )
+        return (out, None) if with_rows else out
     if mode == Intersector.PALLAS:
         from raytpu.kernels.fused import nearest_hit_fused
 
@@ -309,5 +319,6 @@ def nearest_hit(scene, origin, direction, ignore_tri=None, ignore_mesh=None,
             tile_size=cull_tile, chunk_k=cull_chunk, t_max=t_max,
             any_hit=any_hit, pretest=cull_pretest, recull_every=cull_recull,
             phase1_trips=cull_phase1, prepick=cull_prepick, nbuf=cull_nbuf,
+            return_rows=with_rows,
         )
     raise ValueError(mode)

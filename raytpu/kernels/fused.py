@@ -964,6 +964,7 @@ def _tlane_kernel(
     subk: int = 1,
     use_plane: bool = False,
     gate: bool = True,
+    rows: bool = False,
 ):
     """Transposed-layout walk: pair matrix (C, TS), rays in LANES.
 
@@ -1011,14 +1012,17 @@ def _tlane_kernel(
     if use_plane:
         splane = args[0]
         i_arg = 1
+    rest = list(args[i_arg:])
+    sblock_hbm = rest.pop(1) if rows else None  # after block_hbm
+    out_rows = rest.pop(6) if rows else None    # after out_iters
     if subk > 1:
         (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
          ent, esub, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref,
-         bi_ref, qk, qv, qs, buf, sem) = args[i_arg:]
+         bi_ref, qk, qv, qs, buf, sem) = rest
     else:
         (block_hbm, out_t, out_code, out_uvt, out_res, out_iters,
          ent, bt_ref, bc_ref, rs_ref, bu_ref, bv_ref, bd_ref,
-         bi_ref, qk, qv, buf, sem) = args[i_arg:]
+         bi_ref, qk, qv, buf, sem) = rest
         esub = qs = None
 
     ts = rays.shape[1]
@@ -1251,15 +1255,65 @@ def _tlane_kernel(
     out_res[0, 0, :] = (rs_ref[:, :] > 0.0).astype(i32)[0, :]
     out_iters[0, 0, 0] = iters
 
+    if rows:
+        # ---- In-kernel winner-row resolve ------------------------------
+        # The XLA-side (R, 32) tri_shade gather costs ~59 ms per 1M rays
+        # on v5e (~half the device frame, tools/r5lab16).  Here the tile
+        # resolves its own winner rows: loop over the UNIQUE winner
+        # blocks (typically 2-4 per settled 16x16-pixel tile), DMA each
+        # block's cluster-ordered shade rows (``sblock`` bake), and pull
+        # every ray's row out with a one-hot MXU contraction
+        #     (32, C) @ (C, TS) -> (32, TS).
+        # Exact: each f32 channel is split into three bf16 limbs
+        # (hi/mid/lo, 8 significand bits each, exponent range == f32), the
+        # one-hot rhs is exact in bf16, each output element receives
+        # exactly ONE nonzero product (no accumulation rounding), and
+        # hi + mid + lo reassembles the original f32 bit-for-bit.
+        # rs_ref is dead after out_res above and becomes the remaining
+        # mask; buf/sem slot 0 are drained and become the DMA slot.
+        bf16 = jnp.bfloat16
+        code_lm = bc_ref[:, :]  # (1, ts)
+        row_io2 = jax.lax.broadcasted_iota(i32, (c, 1), 0)
+        out_rows[0, :, :] = jnp.zeros((32, ts), f32)
+        rs_ref[:, :] = (code_lm >= 0).astype(f32)
+        BIGC = i32(2 ** 30)
+
+        def rbody(state):
+            it, _ = state
+            codes = jnp.where(rs_ref[:, :] > 0.0, code_lm, BIGC)
+            cstar = jnp.min(codes) // c  # scalar winner block id
+            pltpu.make_async_copy(sblock_hbm.at[cstar], buf.at[0],
+                                  sem.at[0]).start()
+            pltpu.make_async_copy(sblock_hbm.at[cstar], buf.at[0],
+                                  sem.at[0]).wait()
+            g = buf[0]  # (32, C) channels x triangle slots
+            hi = g.astype(bf16)
+            r1 = g - hi.astype(f32)
+            mid = r1.astype(bf16)
+            lo = (r1 - mid.astype(f32)).astype(bf16)
+            one = ((code_lm - cstar * c) == row_io2).astype(bf16)  # (C, TS)
+            acc = (jnp.dot(hi, one, preferred_element_type=f32)
+                   + jnp.dot(mid, one, preferred_element_type=f32)
+                   + jnp.dot(lo, one, preferred_element_type=f32))
+            out_rows[0, :, :] = out_rows[0, :, :] + acc
+            rem = jnp.where((code_lm // c) == cstar, f32(0.0),
+                            rs_ref[:, :])
+            rs_ref[:, :] = rem
+            return it + 1, jnp.max(rem) > 0.0
+
+        jax.lax.while_loop(lambda st: st[1], rbody,
+                           (jnp.int32(0), jnp.max(code_lm) >= 0))
+
 
 @functools.partial(
     jax.jit, static_argnames=("ts", "cull", "any_hit", "chunk_k", "ngrp",
                               "has_ignore", "mxu", "mxu_precision",
                               "recull_every", "pretest", "max_trips",
                               "uvt", "prepick", "nbuf", "layout",
-                              "plane", "gate", "interpret")
+                              "plane", "gate", "rows", "interpret")
 )
 def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
+                sblock=None,
                 ts: int = 256,
                 cull=True,
                 any_hit: bool = False, chunk_k: int = 1, ngrp: int = NGRP,
@@ -1269,6 +1323,7 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
                 max_trips: int = 0, uvt: bool = False,
                 prepick: int = 0, nbuf: int = 4, layout: str = "row",
                 plane: bool = False, gate: bool = True,
+                rows: bool = False,
                 interpret: bool = False):
     """Run the fused kernel over (ROWS, NT*TS) packed rays, ``ts`` per tile.
 
@@ -1324,13 +1379,14 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
         # (None or plane=False => slab-only cull).
         subk = int(saabb.shape[0]) if saabb is not None else 1
         use_plane = bool(plane) and splane is not None
+        use_rows = bool(rows) and sblock is not None and not any_hit
         saabb_eff = (saabb.reshape(subk * 6, 8, nc8)
                      if saabb is not None else aabb)
         kernel = functools.partial(
             _tlane_kernel, cull=cull, any_hit=any_hit, nc=nc,
             k_chunk=chunk_k, ngrp=ngrp, has_ignore=has_ignore,
             max_trips=max_trips, uvt=uvt, subk=subk, use_plane=use_plane,
-            gate=gate)
+            gate=gate, rows=use_rows)
         # Constant index maps: cull tables stay VMEM-resident across grid
         # steps instead of re-streaming per tile.
         in_specs = base_specs + [
@@ -1345,6 +1401,9 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
             call_inputs.append(splane.reshape(subk * 5, 8, nc8))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         call_inputs.append(block)
+        if use_rows:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            call_inputs.append(sblock)
         scratch = [
             pltpu.VMEM((8, nc8), i32),        # ent (keyed pick grid)
         ] + ([pltpu.VMEM((subk, 8, nc8), i32)] if subk > 1 else []) + [
@@ -1432,6 +1491,8 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         call_inputs.append(block)
 
+    use_rows = layout == "t" and bool(rows) and sblock is not None \
+        and not any_hit
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -1456,21 +1517,24 @@ def fused_tiles(rays_packed, aabb, root, block, saabb=None, splane=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 32, ts), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)] if use_rows else []),
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
             jax.ShapeDtypeStruct((nt if uvt else 1, 4, ts), f32),
             jax.ShapeDtypeStruct((nt, 1, ts), i32),
             jax.ShapeDtypeStruct((nt, 1, 1), i32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((nt, 32, ts), f32)]
+             if use_rows else []),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*call_inputs)
-    t, code, uvt_out, res, iters = outs
+    t, code, uvt_out, res, iters = outs[:5]
+    rows_out = outs[5] if use_rows else None
     return (t.reshape(nt, ts), code.reshape(nt, ts),
             uvt_out if uvt else None, res.reshape(nt, ts),
-            iters.reshape(nt))
+            iters.reshape(nt), rows_out)
 
 
 def _default_interpret() -> bool:
@@ -1533,8 +1597,18 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                       prepick: int = 0, nbuf: int = 4, layout=None,
                       plane=None, gate: bool = False,
                       return_iters: bool = False,
+                      return_rows: bool = False,
                       interpret=None) -> Hit:
     """Exact nearest hit via the fully-fused Pallas kernel.
+
+    ``return_rows``: also return the winners' packed (R, 32) shade rows,
+    resolved IN-KERNEL from the cluster-ordered ``sblock`` bake (the
+    XLA-side tri_shade gather costs ~59 ms per 1M rays on v5e — half the
+    device frame).  Returns ``(Hit, rows)`` where ``rows`` is None when
+    the kernel path cannot resolve them (no sblock bake, row layout,
+    any_hit, prepick/phase1 drivers, tiled fallback) — callers fall back
+    to the XLA gather.  Row channel 31 carries the mesh id as a float
+    VALUE (misses: all-zero rows), unlike tri_shade's bitcast.
 
     ``mxu``: compute the four Möller–Trumbore det-space quantities with one
     (TS, 16) @ (16, 4C) MXU matmul per cluster instead of ~31 VPU
@@ -1622,6 +1696,8 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         if return_iters:
             nt_est = -(-origin.shape[0] // max(tile_size, 1))
             return out, jnp.zeros((nt_est,), jnp.int32)
+        if return_rows:
+            return out, None
         return out
 
     r = origin.shape[0]
@@ -1663,7 +1739,12 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
                          "overflow strategies")
     geo = cl["gblock"] if mxu else (
         cl["tblock"] if layout == "t" else cl["block"])
-    best_t, code, uvt_out, _res, _iters = fused_tiles(
+    want_rows = (return_rows and layout == "t" and not any_hit
+                 and "sblock" in cl and prepick == 0
+                 and phase1_trips == 0)
+    if want_rows:
+        kw.update(sblock=cl["sblock"], rows=True)
+    best_t, code, uvt_out, _res, _iters, rows_out = fused_tiles(
         packed, cl["aabb"], cl["root"], geo,
         max_trips=phase1_trips, prepick=prepick, nbuf=nbuf, **kw,
     )
@@ -1684,7 +1765,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
             d2 = jnp.where(res1[:, None], jnp.float32(jnp.nan), d)
             packed2 = _pack_rays(o, d2, itri, imesh,
                                  jnp.where(res1, f32(0.0), bt1), nt, ts)
-            bt2, code2, uvt2, _res2, it2 = fused_tiles(
+            bt2, code2, uvt2, _res2, it2, _ = fused_tiles(
                 packed2, cl["aabb"], cl["root"], cl["block"],
                 max_trips=0, prepick=0, **kw)
             bt2 = bt2.reshape(rp)
@@ -1713,7 +1794,7 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         d2 = jnp.where(res_s[:, None], jnp.float32(jnp.nan), take(d))
         packed2 = _pack_rays(take(o), d2, take(itri), take(imesh),
                              take(bt1), nt, ts)
-        bt2, code2, uvt2, _res2, iters2 = fused_tiles(
+        bt2, code2, uvt2, _res2, iters2, _ = fused_tiles(
             packed2, cl["aabb"], cl["root"], geo, max_trips=0, **kw,
         )
         bt2 = bt2.reshape(rp)
@@ -1754,6 +1835,10 @@ def nearest_hit_fused(scene, origin, direction, ignore_tri=None,
         v = jnp.where(hit, uvt_flat[:, 1], 0.0)
         tri = jnp.where(hit, uvt_flat[:, 2].astype(i32), -1)
         out = Hit(hit=hit, t=t, u=u, v=v, tri=tri)
+    if return_rows:
+        rows_flat = (rows_out.transpose(0, 2, 1).reshape(nt * ts, 32)[:r]
+                     if want_rows else None)
+        return out, rows_flat
     if return_iters:
         return out, _iters
     return out

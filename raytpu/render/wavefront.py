@@ -65,11 +65,19 @@ class RaySet(NamedTuple):
     alive: jnp.ndarray
 
 
-def shade_row_views(s):
+def shade_row_views(s, mesh_as_value: bool = False):
     """Field views of packed (…, 32)-float shade rows (FlatScene.tri_shade).
 
     The ONE layout definition: used by the replicated gather below and by
-    the ring-sharded row resolution of dist/bigscene.py."""
+    the ring-sharded row resolution of dist/bigscene.py.
+
+    ``mesh_as_value``: channel 31 carries the mesh id as a float VALUE
+    (the kernel-resolved row path — its bf16-limb extraction cannot carry
+    bitcast int patterns) instead of tri_shade's int32 bitcast."""
+    if mesh_as_value:
+        views = shade_row_views(s)
+        views["mesh"] = s[..., 31].astype(jnp.int32)
+        return views
     return {
         "v1": s[..., 0:3],
         "e1": s[..., 3:6],
@@ -177,7 +185,8 @@ def _default_query(cfg: RenderConfig):
     and reuse every line of the level/shading logic."""
 
     def query(scene, origin, direction, *, ignore_tri=None,
-              ignore_mesh=None, t_max=None, any_hit=False, cull=True):
+              ignore_mesh=None, t_max=None, any_hit=False, cull=True,
+              with_rows=False):
         return nearest_hit(
             scene, origin, direction, ignore_tri=ignore_tri,
             ignore_mesh=ignore_mesh, cull=cull,
@@ -186,8 +195,14 @@ def _default_query(cfg: RenderConfig):
             cull_tile=cfg.cull_tile, cull_chunk=cfg.cull_chunk,
             cull_pretest=cfg.cull_pretest, cull_recull=cfg.cull_recull,
             cull_phase1=cfg.cull_phase1, cull_prepick=cfg.cull_prepick,
-            cull_nbuf=cfg.cull_nbuf, t_max=t_max, any_hit=any_hit)
+            cull_nbuf=cfg.cull_nbuf, t_max=t_max, any_hit=any_hit,
+            with_rows=with_rows)
 
+    # Capability flag: trace_colors asks this backend for in-kernel
+    # winner shade rows (the XLA row gather is ~half the device frame at
+    # 1M rays — tools/r5lab16).  Injected backends (ring, instanced)
+    # lack the attribute and take the gather fallback.
+    query.supports_rows = True
     return query
 
 
@@ -377,23 +392,35 @@ def _trace_level(scene: FlatScene, cfg: RenderConfig, rays: RaySet,
     # INPUTS too: AD then never enters the intersector at all — required
     # for the Pallas kernel (no JVP rule) and pure savings elsewhere.
     sg = jax.lax.stop_gradient if cfg.differentiable else (lambda x: x)
-    hit = query(
+    # Hard (non-differentiable) renders ask the backend for the winners'
+    # shade rows resolved IN-KERNEL (sblock bake): the XLA tri_shade
+    # gather is ~half the device frame at 1M rays (tools/r5lab16).
+    # Differentiable renders keep the XLA gather — its VJP carries the
+    # parameter gradients.
+    want_rows = not cfg.differentiable and getattr(
+        query, "supports_rows", False)
+    qargs = dict(ignore_tri=rays.ignore_tri, ignore_mesh=rays.ignore_mesh,
+                 cull=True)
+    qin = (
         jax.tree.map(sg, scene) if cfg.differentiable else scene,
         sg(rays.origin),
         # Dead lanes become non-finite: they can never hit and the tiled
         # backends exclude them from cull-tile bounds (accel/tiled.py).
         sg(jnp.where(rays.alive[..., None], rays.direction,
                      jnp.float32(jnp.nan))),
-        ignore_tri=rays.ignore_tri,
-        ignore_mesh=rays.ignore_mesh,
-        cull=True,
     )
+    krows = None
+    if want_rows:
+        hit, krows = query(*qin, with_rows=True, **qargs)
+    else:
+        hit = query(*qin, **qargs)
     soft_vis = None
     if cfg.differentiable:
         hit = jax.tree.map(jax.lax.stop_gradient, hit)
     mask = hit.hit & rays.alive
     tri = hit.tri
-    td = gather(scene, tri)
+    td = (shade_row_views(krows, mesh_as_value=True)
+          if krows is not None else gather(scene, tri))
     if cfg.differentiable:
         # Detach the discrete search, then recompute (u, v, t) from the hit
         # triangle so gradients flow regardless of intersector backend.  The

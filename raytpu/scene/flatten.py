@@ -217,7 +217,10 @@ def flatten_scene(scene: Scene, max_lights: int = 4,
                                       # scenes near the HBM limit that
                                       # render through row-layout paths.
                                       build_tblock=build_tblock,
-                                      build_plane=build_plane)
+                                      build_plane=build_plane,
+                                      # In-kernel winner-row resolve bake
+                                      # (cluster-ordered shade rows).
+                                      shade_rows=shade)
             if clusters is not None
             else None
         ),

@@ -655,3 +655,79 @@ class TestRowPlaneCull:
                                plane=True, interpret=True)
         np.testing.assert_array_equal(np.asarray(hb.hit),
                                       np.asarray(hf.hit))
+
+
+class TestKernelRowResolve:
+    """In-kernel winner shade-row resolve (kernels/fused.py ``rows`` path):
+    per settled tile the kernel DMAs the unique winner blocks from the
+    cluster-ordered ``sblock`` bake and extracts each ray's (32,)-float
+    row with an exact one-hot MXU contraction (three bf16 limbs per f32
+    channel, one nonzero product per output element).  Rows must be
+    BIT-identical to the XLA ``tri_shade[tri]`` gather they replace."""
+
+    @pytest.fixture(scope="class", params=[128, 64])
+    def flatr(self, request):
+        return sphere_and_plane_scene(textured=True).flatten(
+            build_octree=False, cluster_size=request.param
+        )
+
+    def _rays(self, rng, n):
+        o = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        o[:, 1] = np.abs(o[:, 1]) + 0.5
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def test_rows_match_tri_shade_gather(self, flatr, rng):
+        import jax
+
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 256)
+        h, rows = nearest_hit_fused(flatr, o, d, tile_size=64, layout="t",
+                                    return_rows=True, interpret=True)
+        assert rows is not None and rows.shape == (256, 32)
+        m = np.asarray(h.hit)
+        ref = np.asarray(flatr.tri_shade[jnp.maximum(h.tri, 0)])
+        got = np.asarray(rows)
+        # Channels 0-30 bit-exact; channel 31 is the mesh id as a float
+        # VALUE (tri_shade stores an int32 bitcast).
+        np.testing.assert_array_equal(got[m][:, :31], ref[m][:, :31])
+        mesh_ref = np.asarray(jax.lax.bitcast_convert_type(
+            flatr.tri_shade[..., 31], jnp.int32))[
+            np.asarray(jnp.maximum(h.tri, 0))]
+        np.testing.assert_array_equal(got[m][:, 31].astype(np.int32),
+                                      mesh_ref[m])
+        assert np.all(got[~m] == 0.0)
+
+    def test_rows_none_when_unsupported(self, flatr, rng):
+        from raytpu.kernels.fused import nearest_hit_fused
+
+        o, d = self._rays(rng, 64)
+        # any_hit never resolves rows; row layout has no resolve phase.
+        h, rows = nearest_hit_fused(flatr, o, d, tile_size=32,
+                                    any_hit=True, return_rows=True,
+                                    interpret=True)
+        assert rows is None
+        h, rows = nearest_hit_fused(flatr, o, d, tile_size=32,
+                                    layout="row", return_rows=True,
+                                    interpret=True)
+        assert rows is None
+
+    def test_render_rows_vs_gather_bitexact(self, rng):
+        import dataclasses
+
+        from raytpu.config import Intersector, Quantize, RenderConfig
+        from raytpu.render.wavefront import render_image
+
+        scene = sphere_and_plane_scene(reflect=0.3, textured=True)
+        flat = scene.flatten(build_octree=False, cluster_size=128)
+        cfg = RenderConfig(width=32, height=32, max_reflections=2,
+                           quantize=Quantize.NONE, tile_pixels=32 * 32,
+                           intersector=Intersector.PALLAS)
+        img_rows = render_image(flat, cfg)
+        cl2 = dict(flat.clusters)
+        cl2.pop("sblock")
+        img_gather = render_image(flat.replace(clusters=cl2), cfg)
+        np.testing.assert_array_equal(np.asarray(img_rows),
+                                      np.asarray(img_gather))

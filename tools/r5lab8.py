@@ -144,7 +144,7 @@ def walk_sweep():
                             jnp.full((r,), -1, i32),
                             jnp.full((r,), -1, i32),
                             jnp.full((r,), 3.4e38, f32), nt, ts)
-        t, code, _, _, _ = fused_tiles(
+        t, code, _, _, _, _ = fused_tiles(
             packed, cl["aabb"], cl["root"], cl["tblock"],
             saabb=cl.get("sub_aabb"), splane=cl.get("sub_plane"),
             ts=ts, cull=True, any_hit=False, has_ignore=False,
