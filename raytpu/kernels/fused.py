@@ -1277,16 +1277,44 @@ def _tlane_kernel(
         out_rows[0, :, :] = jnp.zeros((32, ts), f32)
         rs_ref[:, :] = (code_lm >= 0).astype(f32)
         BIGC = i32(2 ** 30)
+        nslot = min(2, NG * kc)  # double-buffer when the walk ring allows
+
+        def rslot(it):
+            return jax.lax.rem(it, nslot) if nslot > 1 else 0
+
+        def next_cluster(rem):
+            codes = jnp.where(rem > 0.0, code_lm, BIGC)
+            return jnp.min(codes) // c  # scalar winner block id
+
+        # Prologue: fetch the first winner block.
+        live0 = jnp.max(code_lm) >= 0
+        c0 = next_cluster(rs_ref[:, :])
+        c0 = jnp.minimum(c0, i32(nc - 1))
+
+        @pl.when(live0)
+        def _():
+            pltpu.make_async_copy(sblock_hbm.at[c0], buf.at[0],
+                                  sem.at[0]).start()
 
         def rbody(state):
-            it, _ = state
-            codes = jnp.where(rs_ref[:, :] > 0.0, code_lm, BIGC)
-            cstar = jnp.min(codes) // c  # scalar winner block id
-            pltpu.make_async_copy(sblock_hbm.at[cstar], buf.at[0],
-                                  sem.at[0]).start()
-            pltpu.make_async_copy(sblock_hbm.at[cstar], buf.at[0],
-                                  sem.at[0]).wait()
-            g = buf[0]  # (32, C) channels x triangle slots
+            it, cstar, _ = state
+            # Clear this block's rays and prefetch the NEXT winner block
+            # into the other slot while this one's extraction runs.
+            rem = jnp.where((code_lm // c) == cstar, f32(0.0),
+                            rs_ref[:, :])
+            rs_ref[:, :] = rem
+            live_next = jnp.max(rem) > 0.0
+            cnext = jnp.minimum(next_cluster(rem), i32(nc - 1))
+
+            @pl.when(live_next & (nslot > 1))
+            def _():
+                pltpu.make_async_copy(sblock_hbm.at[cnext],
+                                      buf.at[rslot(it + 1)],
+                                      sem.at[rslot(it + 1)]).start()
+
+            pltpu.make_async_copy(sblock_hbm.at[cstar], buf.at[rslot(it)],
+                                  sem.at[rslot(it)]).wait()
+            g = buf[rslot(it)]  # (32, C) channels x triangle slots
             hi = g.astype(bf16)
             r1 = g - hi.astype(f32)
             mid = r1.astype(bf16)
@@ -1296,13 +1324,16 @@ def _tlane_kernel(
                    + jnp.dot(mid, one, preferred_element_type=f32)
                    + jnp.dot(lo, one, preferred_element_type=f32))
             out_rows[0, :, :] = out_rows[0, :, :] + acc
-            rem = jnp.where((code_lm // c) == cstar, f32(0.0),
-                            rs_ref[:, :])
-            rs_ref[:, :] = rem
-            return it + 1, jnp.max(rem) > 0.0
 
-        jax.lax.while_loop(lambda st: st[1], rbody,
-                           (jnp.int32(0), jnp.max(code_lm) >= 0))
+            @pl.when(live_next & (nslot == 1))
+            def _():
+                pltpu.make_async_copy(sblock_hbm.at[cnext],
+                                      buf.at[0], sem.at[0]).start()
+
+            return it + 1, cnext, live_next
+
+        jax.lax.while_loop(lambda st: st[2], rbody, (jnp.int32(0), c0,
+                                                     live0))
 
 
 @functools.partial(
