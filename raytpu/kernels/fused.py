@@ -32,7 +32,15 @@ per ray tile; everything happens on-chip:
    the whole (TS, C) test is skipped via ``lax.cond``.  The tile-level
    cull is conservative over the beam, so many walked clusters intersect
    no individual ray — skipping them is exact.
-5. **Periodic re-cull** (``recull_every``) — every few trips the entry
+5. **In-kernel winner-row resolve** (``rows``, tlane) — after the walk
+   settles, the tile loops its UNIQUE winner blocks (typically 2-4),
+   DMAs each block's cluster-ordered shade rows (``sblock`` bake,
+   double-buffered) and extracts every ray's packed (32,)-float row via
+   a one-hot MXU contraction (three bf16 limbs per f32 channel; exactly
+   one nonzero product per output element => bit-exact reassembly).
+   Replaces the XLA-side ``tri_shade[tri]`` gather, which measured ~59 ms
+   per 1M rays — half the device frame (tools/r5lab16).
+6. **Periodic re-cull** (``recull_every``) — every few trips the entry
    grid is rebuilt from the *unresolved* rays only (resolved rays stop
    inflating the tile bounds) and pruned against their current best
    distances.  Entries only ever tighten (grow), so pick order stays
